@@ -1,0 +1,64 @@
+"""Data-parallel training over a device mesh.
+
+Utterance batches shard over the 'data' mesh axis; params, BN state and
+optimizer state replicate.  The step itself is the same pure function as
+single-chip (`train.step.make_train_step`) -- jit sharding annotations let
+XLA's SPMD partitioner insert the gradient all-reduce (psum over ICI) and
+the BN-moment all-reduce automatically.  This is the scaling-book recipe:
+pick a mesh, annotate shardings, let XLA place collectives.
+
+Note on BN: the reference computes BN batch statistics on its single
+device (batch 2).  Under DP the batch is global, and the mean/variance
+reductions in `blocks.conv_bn_relu_apply` span the whole sharded batch, so
+this is synchronized ("sync BN") across data shards -- there is no
+reference multi-device behaviour to be faithful to, and sync BN is the
+mathematically-equivalent extension of the single-device semantics
+(SURVEY.md SS7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from fullycnnspeechenhancement_tpu.config import Config
+from fullycnnspeechenhancement_tpu.models.rced import ModelDef
+from fullycnnspeechenhancement_tpu.parallel.mesh import DATA_AXIS
+from fullycnnspeechenhancement_tpu.train.step import Batch, make_train_step
+
+
+def replicate(mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh, batch: Batch) -> Batch:
+    """Place a host batch onto the mesh, sharded along the batch axis."""
+    sh = batch_sharding(mesh)
+    return Batch(*(jax.device_put(x, sh) for x in batch))
+
+
+def make_parallel_train_step(config: Config, model: ModelDef, mesh):
+    """jit-compiled DP train step: state replicated, batch sharded.
+
+    The global batch (config.train.batch_size) must be divisible by the
+    mesh's data-axis size.
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    if config.train.batch_size % n_data:
+        raise ValueError(
+            f"global batch {config.train.batch_size} not divisible by "
+            f"data-parallel degree {n_data}"
+        )
+    step = make_train_step(config, model)
+    repl = replicate(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, Batch(bsh, bsh, bsh)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,134 @@
+"""Pure-functional train / eval steps.
+
+TPU-first redesign of the reference's Session/feed_dict loop
+(`/root/reference/model_utils/trainer.py:156-192`): a single jitted step
+takes raw waveform batches and does STFT analysis, model forward, loss,
+backward and the optimizer update on device -- the host only decodes and
+mixes audio.  Everything is static-shape; variable utterance lengths ride
+in as a `lengths` vector and zero-padded tails reproduce the reference's
+padded-collate semantics exactly.
+
+Loss (reference contract, trainer.py:143-153 + SURVEY.md Appendix A.12-13):
+sum of squared error over the whole padded [B, T, F, 1] block, divided by
+the *configured* batch size.  Padded frames are zero in both prediction
+target and input magnitude (they contribute conv-bias-induced nonzero
+predictions, exactly as in the reference).  `mask_loss=True` switches to a
+masked, frame-count-normalised loss (documented corrected mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from fullycnnspeechenhancement_tpu.config import Config
+from fullycnnspeechenhancement_tpu.dsp.features import SpectrogramExtractor
+from fullycnnspeechenhancement_tpu.models.rced import ModelDef
+from fullycnnspeechenhancement_tpu.train.optim import noam_schedule, tf_adam
+
+
+class TrainState(NamedTuple):
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+class Batch(NamedTuple):
+    """Raw-waveform batch: device does the DSP."""
+
+    mix_wav: jnp.ndarray  # [B, L] float32, zero-padded
+    clean_wav: jnp.ndarray  # [B, L]
+    lengths: jnp.ndarray  # [B] int32 sample counts
+
+
+def create_train_state(config: Config, model: ModelDef, rng) -> TrainState:
+    params, bn_state = model.init(rng)
+    tx = tf_adam(noam_schedule(config.train.lr, config.train.warmup_steps))
+    return TrainState(
+        params=params,
+        bn_state=bn_state,
+        opt_state=tx.init(params),
+        step=jnp.zeros([], jnp.int32),
+    )
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    return tf_adam(noam_schedule(config.train.lr, config.train.warmup_steps))
+
+
+def spectral_l2_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    batch_size: int,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """sum((target - pred)^2) / configured_batch_size (trainer.py:146-147).
+
+    With `mask` ([B, T]): error restricted to real frames and normalised by
+    the real-frame fraction so the magnitude is comparable -- the corrected
+    mode, not the parity default.
+    """
+    sq = jnp.square(target - pred)
+    if mask is None:
+        return jnp.sum(sq) / batch_size
+    m = mask[:, :, None, None]
+    denom = jnp.maximum(jnp.mean(m), 1e-8)
+    return jnp.sum(sq * m) / (batch_size * denom)
+
+
+def make_train_step(config: Config, model: ModelDef):
+    """Returns a jittable (state, batch) -> (state, metrics) train step."""
+    ext = SpectrogramExtractor(config.dsp)
+    tx = make_optimizer(config)
+    batch_size = config.train.batch_size
+    mask_loss = config.train.mask_loss
+    compute_dtype = jnp.dtype(config.model.compute_dtype)
+
+    def loss_fn(params, bn_state, batch: Batch):
+        mix_mag = ext(batch.mix_wav, batch.lengths)  # [B, T, F]
+        clean_mag = ext(batch.clean_wav, batch.lengths)
+        x = mix_mag[..., None].astype(compute_dtype)
+        pred, new_bn = model.apply(params, bn_state, x, is_training=True)
+        pred = pred.astype(jnp.float32)
+        mask = (
+            ext.frame_mask(batch.lengths, mix_mag.shape[1]) if mask_loss else None
+        )
+        loss = spectral_l2_loss(pred, clean_mag[..., None], batch_size, mask)
+        return loss, new_bn
+
+    def train_step(state: TrainState, batch: Batch):
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.bn_state, batch
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        lr = noam_schedule(config.train.lr, config.train.warmup_steps)(state.step)
+        new_state = TrainState(new_params, new_bn, new_opt, state.step + 1)
+        return new_state, {"loss": loss, "lr": lr, "step": state.step}
+
+    return train_step
+
+
+def make_eval_step(config: Config, model: ModelDef, is_training: bool = False):
+    """(params, bn_state, mix_wav, lengths) -> (pred_mag, phase_re, phase_im).
+
+    The standalone tester runs BN in inference mode (tester.py:67-83); the
+    reference's *in-training* validation reuses the training graph -- BN in
+    batch-stats mode (trainer.py:245-250, Appendix A.8).  `is_training`
+    selects which behaviour to replicate.
+    """
+    ext = SpectrogramExtractor(config.dsp)
+    compute_dtype = jnp.dtype(config.model.compute_dtype)
+
+    def eval_step(params, bn_state, mix_wav, lengths):
+        mag, phase_re, phase_im = ext.magnitude_and_phase(mix_wav, lengths)
+        x = mag[..., None].astype(compute_dtype)
+        pred, _ = model.apply(params, bn_state, x, is_training=is_training)
+        return pred[..., 0].astype(jnp.float32), phase_re, phase_im
+
+    return eval_step

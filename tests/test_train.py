@@ -1,0 +1,139 @@
+"""Training-step tests: optimizer/schedule math, convergence on a synthetic
+fixture, and data-parallel equivalence on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fullycnnspeechenhancement_tpu.config import Config, TrainConfig
+from fullycnnspeechenhancement_tpu.models import V2, get_model
+from fullycnnspeechenhancement_tpu.parallel import (
+    make_mesh,
+    make_parallel_train_step,
+    shard_batch,
+)
+from fullycnnspeechenhancement_tpu.train import (
+    TrainState,
+    create_train_state,
+    make_train_step,
+    noam_schedule,
+    tf_adam,
+)
+from fullycnnspeechenhancement_tpu.train.step import Batch
+
+
+def test_noam_schedule_matches_reference_formula():
+    sched = noam_schedule(1.5e-3, 10000)
+    for step in [0, 1, 99, 9999, 10000, 50000]:
+        s = step + 1
+        expect = 1.5e-3 * 10000**0.5 * min(s * 10000**-1.5, s**-0.5)
+        np.testing.assert_allclose(float(sched(step)), expect, rtol=1e-6)
+
+
+def test_tf_adam_matches_manual_update():
+    """One Adam step on a scalar matches the TF formula exactly."""
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+    tx = tf_adam(lr, b1, b2, eps)
+    params = {"w": jnp.asarray(2.0)}
+    opt_state = tx.init(params)
+    g = {"w": jnp.asarray(0.5)}
+    updates, opt_state = tx.update(g, opt_state, params)
+    m = (1 - b1) * 0.5
+    v = (1 - b2) * 0.25
+    alpha = lr * np.sqrt(1 - b2) / (1 - b1)
+    np.testing.assert_allclose(
+        float(updates["w"]), -alpha * m / (np.sqrt(v) + eps), rtol=1e-4
+    )
+    # second step
+    updates, opt_state = tx.update(g, opt_state, params)
+    m = b1 * m + (1 - b1) * 0.5
+    v = b2 * v + (1 - b2) * 0.25
+    alpha = lr * np.sqrt(1 - b2**2) / (1 - b1**2)
+    np.testing.assert_allclose(
+        float(updates["w"]), -alpha * m / (np.sqrt(v) + eps), rtol=1e-4
+    )
+
+
+def _synthetic_batch(rng, batch_size=2, seconds=0.6, sr=8000, pad_to=None):
+    n = int(seconds * sr)
+    L = pad_to or n
+    mix = np.zeros((batch_size, L), np.float32)
+    clean = np.zeros((batch_size, L), np.float32)
+    lengths = np.full((batch_size,), n, np.int32)
+    t = np.arange(n) / sr
+    for i in range(batch_size):
+        f = rng.uniform(200, 1000)
+        c = 0.4 * np.sin(2 * np.pi * f * t)
+        clean[i, :n] = c
+        mix[i, :n] = c + 0.2 * rng.standard_normal(n)
+    return Batch(jnp.asarray(mix), jnp.asarray(clean), jnp.asarray(lengths))
+
+
+@pytest.fixture(scope="module")
+def tiny_config():
+    return Config(train=TrainConfig(batch_size=2, lr=1e-3, warmup_steps=100))
+
+
+def test_train_step_decreases_loss(tiny_config):
+    model = get_model("FullyCNNV2")
+    state = create_train_state(tiny_config, model, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(tiny_config, model))
+    rng = np.random.default_rng(0)
+    batch = _synthetic_batch(rng)
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < 0.5 * losses[0], losses[::10]
+    assert int(state.step) == 30
+    # BN moving stats moved off their init
+    mv = state.bn_state["encode_1"]["mean"]
+    assert float(jnp.abs(mv).max()) > 0
+
+
+def test_train_step_masked_mode(tiny_config):
+    cfg = Config(train=TrainConfig(batch_size=2, lr=1e-3, mask_loss=True))
+    model = get_model("FullyCNN")
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    step = jax.jit(make_train_step(cfg, model))
+    batch = _synthetic_batch(np.random.default_rng(1), pad_to=8000)
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_step_matches_single_device(tiny_config):
+    """DP over 8 CPU devices must produce the same loss and parameter
+    update as the single-device step on the identical global batch."""
+    cfg = Config(train=TrainConfig(batch_size=8, lr=1e-3, warmup_steps=100))
+    model = get_model("FullyCNNV2")
+    mesh = make_mesh(n_data=8)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(42))
+    batch = _synthetic_batch(np.random.default_rng(2), batch_size=8)
+
+    single = jax.jit(make_train_step(cfg, model))
+    s1, m1 = single(state, batch)
+
+    pstep = make_parallel_train_step(cfg, model, mesh)
+    state2 = create_train_state(cfg, model, jax.random.PRNGKey(42))
+    s2, m2 = pstep(state2, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    w1 = np.asarray(s1.params["encode_1"]["w"])
+    w2 = np.asarray(s2.params["encode_1"]["w"])
+    np.testing.assert_allclose(w1, w2, rtol=1e-4, atol=1e-6)
+    # BN moving means must match too (sync-BN over the same global batch)
+    np.testing.assert_allclose(
+        np.asarray(s1.bn_state["encode_1"]["mean"]),
+        np.asarray(s2.bn_state["encode_1"]["mean"]),
+        rtol=1e-4,
+        atol=1e-6,
+    )
+
+
+def test_dp_rejects_indivisible_batch():
+    cfg = Config(train=TrainConfig(batch_size=3))
+    mesh = make_mesh(n_data=2)
+    with pytest.raises(ValueError):
+        make_parallel_train_step(cfg, V2, mesh)
