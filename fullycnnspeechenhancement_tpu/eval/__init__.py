@@ -1,0 +1,10 @@
+"""Evaluation: speech-quality metrics and the batch evaluator."""
+
+from fullycnnspeechenhancement_tpu.eval.metrics import (  # noqa: F401
+    AverageMeter,
+    SDR,
+    STOI,
+    PESQ,
+    stoi,
+    sdr,
+)
