@@ -1,0 +1,70 @@
+"""Train CLI: `python -m fullycnnspeechenhancement_tpu.cli.train --cfg <ini>`.
+
+Same surface as the reference's train.py (argparse --cfg/--num-works,
+reference train.py:69-75), wiring config -> datasets -> loaders -> Trainer.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from fullycnnspeechenhancement_tpu.cli import (
+    enable_compilation_cache,
+    setup_file_logger,
+)
+from fullycnnspeechenhancement_tpu.config import Config, load_ini_config
+from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
+from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+
+
+def build_loaders(config: Config, num_workers: int):
+    train_ds = SpeechDataset.from_config(config.data, config.dsp, "train")
+    train_loader = DataLoader(
+        train_ds,
+        config.dsp,
+        config.train.batch_size,
+        bucket_frames=config.data.bucket_frames,
+        shuffle=True,
+        num_workers=num_workers,
+        prefetch=config.data.prefetch_batches,
+        seed=config.data.seed,
+    )
+    val_loader = None
+    if config.data.val_manifest_path:
+        val_ds = SpeechDataset.from_config(config.data, config.dsp, "val")
+        val_loader = DataLoader(
+            val_ds,
+            config.dsp,
+            config.train.batch_size,
+            bucket_frames=config.data.bucket_frames,
+            shuffle=False,
+            num_workers=num_workers,
+            seed=config.data.seed,
+        )
+    return train_loader, val_loader
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a speech denoiser")
+    parser.add_argument("--cfg", required=True, help="INI config file")
+    parser.add_argument(
+        "--num-works", default=4, type=int, help="loader worker threads"
+    )
+    args = parser.parse_args(argv)
+
+    enable_compilation_cache()
+    config = load_ini_config(args.cfg)
+    logger = setup_file_logger(
+        config.train.log_dir,
+        f"{config.model.net_arch}_{config.model.net_work}",
+    )
+
+    from fullycnnspeechenhancement_tpu.train.trainer import Trainer
+
+    train_loader, val_loader = build_loaders(config, args.num_works)
+    trainer = Trainer(config)
+    trainer.train(train_loader, val_loader, log=logger)
+
+
+if __name__ == "__main__":
+    main()

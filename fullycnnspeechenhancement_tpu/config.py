@@ -215,6 +215,7 @@ def load_ini_config(path: str) -> Config:
             seed=int(g("seed", 0)),
             mask_loss=str(g("mask_loss", "False")).lower() in ("1", "true", "yes"),
             data_parallel=int(g("data_parallel", 1)),
+            valid_every_epochs=int(g("valid_every_epochs", 5)),
         )
     train = TrainConfig(**train_kwargs)
 

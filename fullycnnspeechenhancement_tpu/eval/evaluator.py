@@ -1,0 +1,135 @@
+"""Batch evaluator: model prediction -> device rebuild -> host metrics.
+
+Covers both reference eval paths (SURVEY.md SS3.2/SS3.3): the in-training
+validation (which runs the *training* graph, so BN uses batch statistics --
+Appendix A.8) and the standalone tester (BN inference mode).  The whole
+magnitude/phase split, prediction and waveform rebuild run on device in one
+jitted program per bucket; the host only truncates, scores (STOI/SDR
+always, PESQ when an ITU implementation is importable) and writes the
+clean/mix/denoised wav triplets.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from fullycnnspeechenhancement_tpu.config import Config
+from fullycnnspeechenhancement_tpu.data.audio_io import write_wav
+from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+from fullycnnspeechenhancement_tpu.dsp.rebuild import WaveformRebuilder
+from fullycnnspeechenhancement_tpu.eval.metrics import (
+    PESQ,
+    AverageMeter,
+    sdr,
+    stoi,
+)
+from fullycnnspeechenhancement_tpu.models.rced import ModelDef
+from fullycnnspeechenhancement_tpu.train.step import make_eval_step
+
+logger = logging.getLogger(__name__)
+
+
+class Evaluator:
+    def __init__(
+        self,
+        config: Config,
+        model: ModelDef,
+        bn_training_mode: bool = False,
+        num_workers: int = 8,
+    ):
+        self.config = config
+        self.model = model
+        self.rebuilder = WaveformRebuilder(config.dsp)
+        eval_step = make_eval_step(config, model, is_training=bn_training_mode)
+
+        def predict_and_rebuild(params, bn_state, mix_wav, lengths):
+            pred_mag, phase_re, phase_im = eval_step(
+                params, bn_state, mix_wav, lengths
+            )
+            return self.rebuilder(pred_mag, phase_re, phase_im)
+
+        self._fn = jax.jit(predict_and_rebuild)
+        self.pesq = PESQ(sr=config.dsp.sample_rate)
+        self.pesq_proxy = PESQ(sr=config.dsp.sample_rate, allow_proxy=True)
+        self.num_workers = num_workers
+        self._warned_pesq = False
+
+    def _score_one(self, clean, mix, den, path, save_dir, sample_rate):
+        out = {"stoi": stoi(clean, den, sample_rate), "sdr": sdr(clean, den)}
+        if self.pesq.available:
+            out["pesq"] = self.pesq(clean, den)
+        else:
+            out["pesq_proxy"] = self.pesq_proxy(clean, den)
+        if save_dir is not None and path is not None:
+            base = os.path.basename(path)
+            write_wav(os.path.join(save_dir, base), clean, sample_rate)
+            write_wav(
+                os.path.join(save_dir, base.replace(".wav", "_mix.wav")),
+                mix,
+                sample_rate,
+            )
+            write_wav(
+                os.path.join(save_dir, base.replace(".wav", "_de.wav")),
+                den,
+                sample_rate,
+            )
+        return out
+
+    def evaluate(
+        self,
+        loader: DataLoader,
+        params,
+        bn_state,
+        save_dir: Optional[str] = None,
+        meters: Optional[Dict[str, AverageMeter]] = None,
+    ) -> Dict[str, float]:
+        """Run the full loader; returns metric averages.  Pass `meters` to
+        accumulate across calls (the reference's never-reset meters,
+        Appendix A.11)."""
+        if meters is None:
+            meters = {}
+        if not self.pesq.available and not self._warned_pesq:
+            logger.warning(
+                "No ITU P.862 implementation installed; reporting "
+                "'pesq_proxy' (fwSegSNR-based, NOT a PESQ score) instead."
+            )
+            self._warned_pesq = True
+        if save_dir is not None:
+            os.makedirs(save_dir, exist_ok=True)
+
+        sr = self.config.dsp.sample_rate
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            for batch in loader:
+                rebuilt = np.asarray(
+                    self._fn(params, bn_state, batch.mix_wav, batch.lengths)
+                )
+                jobs = []
+                seen = set()
+                for j in range(len(batch.lengths)):
+                    idx = int(batch.indices[j])
+                    if idx in seen:  # static-batch tail repeats score once
+                        continue
+                    seen.add(idx)
+                    n = int(batch.lengths[j])
+                    entry = loader.dataset.items[idx]
+                    jobs.append(
+                        pool.submit(
+                            self._score_one,
+                            batch.clean_wav[j, :n],
+                            batch.mix_wav[j, :n],
+                            rebuilt[j, :n],
+                            entry.clean_path,
+                            save_dir,
+                            sr,
+                        )
+                    )
+                for job in jobs:
+                    for k, v in job.result().items():
+                        meters.setdefault(k, AverageMeter()).update(v)
+        return {k: m.avg for k, m in meters.items()}

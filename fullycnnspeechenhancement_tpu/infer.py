@@ -1,0 +1,107 @@
+"""Single-utterance inference engine.
+
+Reference surface: `InferenceEngine(config).denoise(audio_file)` writes
+`<name>_de.wav` (`/root/reference/infer.py:19-77`).  This engine jits the
+whole chain (analysis -> model (BN inference mode) -> rebuild) once per
+padded length bucket, so repeated calls reuse compiled programs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fullycnnspeechenhancement_tpu.config import Config
+from fullycnnspeechenhancement_tpu.data.audio_io import read_wav, write_wav
+from fullycnnspeechenhancement_tpu.dsp.features import SpectrogramExtractor
+from fullycnnspeechenhancement_tpu.dsp.rebuild import WaveformRebuilder
+from fullycnnspeechenhancement_tpu.models import get_model
+from fullycnnspeechenhancement_tpu.train.checkpoint import (
+    CheckpointManager,
+    import_reference_npz,
+)
+from fullycnnspeechenhancement_tpu.train.step import create_train_state
+
+logger = logging.getLogger(__name__)
+
+
+class InferenceEngine:
+    def __init__(
+        self,
+        config: Config,
+        checkpoint: Optional[str] = None,
+        bucket_seconds: Sequence[float] = (2.0, 4.0, 8.0, 16.0, 32.0),
+    ):
+        self.config = config
+        self.model = get_model(config.model.net_work)
+        self.ext = SpectrogramExtractor(config.dsp)
+        self.reb = WaveformRebuilder(config.dsp)
+        self.bucket_samples = [
+            int(s * config.dsp.sample_rate) for s in bucket_seconds
+        ]
+        self.params, self.bn_state = self._load(checkpoint)
+
+        def denoise_fn(params, bn_state, wav, lengths):
+            mag, pre, pim = self.ext.magnitude_and_phase(wav, lengths)
+            pred, _ = self.model.apply(
+                params, bn_state, mag[..., None], is_training=False
+            )
+            return self.reb(pred[..., 0].astype(jnp.float32), pre, pim)
+
+        self._fn = jax.jit(denoise_fn)
+
+    def _load(self, checkpoint: Optional[str]):
+        ckpt_path = checkpoint or self.config.eval.checkpoint_filepath
+        if ckpt_path and ckpt_path.endswith(".npz"):
+            logger.info("importing reference npz weights: %s", ckpt_path)
+            return import_reference_npz(ckpt_path, self.model)
+        state = create_train_state(
+            self.config, self.model, jax.random.PRNGKey(self.config.train.seed)
+        )
+        if ckpt_path:
+            run_name = os.path.basename(os.path.normpath(ckpt_path))
+            mgr = CheckpointManager(os.path.dirname(ckpt_path) or ".", run_name)
+            restored, epoch = mgr.restore(state)
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoint under {ckpt_path}")
+            logger.info("restored epoch %d from %s", epoch, ckpt_path)
+            mgr.close()
+            return restored.params, restored.bn_state
+        logger.warning("no checkpoint configured; using random init")
+        return state.params, state.bn_state
+
+    def _pad_len(self, n: int) -> int:
+        for b in self.bucket_samples:
+            if n <= b:
+                return b
+        top = self.bucket_samples[-1]
+        return ((n + top - 1) // top) * top
+
+    def denoise_array(self, signal: np.ndarray) -> np.ndarray:
+        """float32 waveform -> denoised float32 waveform (same length)."""
+        n = len(signal)
+        L = self._pad_len(n)
+        wav = np.zeros((1, L), np.float32)
+        wav[0, :n] = signal
+        out = self._fn(
+            self.params, self.bn_state, jnp.asarray(wav),
+            jnp.asarray([n], jnp.int32),
+        )
+        return np.asarray(out)[0, :n]
+
+    def denoise(self, audio_file: str, save_path: Optional[str] = None) -> str:
+        signal, _ = read_wav(audio_file, self.config.dsp.sample_rate)
+        out = self.denoise_array(signal)
+        save_dir = save_path or self.config.data.audio_save_path
+        os.makedirs(save_dir, exist_ok=True)
+        out_path = os.path.join(
+            save_dir, os.path.basename(audio_file).replace(".wav", "_de.wav")
+        )
+        write_wav(out_path, out, self.config.dsp.sample_rate)
+        logger.info("saved denoised audio to %s", out_path)
+        return out_path

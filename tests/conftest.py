@@ -24,6 +24,48 @@ if REPO_ROOT not in sys.path:
 REFERENCE_ROOT = "/root/reference"
 
 
+def make_corpus(root, sr=8000, n_clean=6, seed=0):
+    """Write a small wav corpus + manifests under `root`; returns paths."""
+    import numpy as np
+
+    from fullycnnspeechenhancement_tpu.data import write_manifest, write_wav
+
+    rng = np.random.default_rng(seed)
+    clean_entries, noise_entries, premixed_entries = [], [], []
+    durations = [0.5, 0.8, 1.1, 1.6, 2.2, 3.1, 1.3, 0.9][:n_clean]
+    for i, sec in enumerate(durations):
+        t = np.arange(int(sec * sr)) / sr
+        env = 0.55 + 0.45 * np.sin(2 * np.pi * 4.0 * t)
+        sig = (env * (0.4 * np.sin(2 * np.pi * (250 + 90 * i) * t))).astype(
+            np.float32
+        )
+        p = os.path.join(root, f"clean_{i}.wav")
+        write_wav(p, sig, sr)
+        clean_entries.append({"audio_filepath": p, "duration": sec})
+        mp = os.path.join(root, f"mix_{i}.wav")
+        write_wav(
+            mp, sig + 0.1 * rng.standard_normal(len(sig)).astype(np.float32), sr
+        )
+        premixed_entries.append(
+            {"clean_audio_filepath": p, "mix_audio_filepath": mp, "duration": sec}
+        )
+    for i, sec in enumerate([0.7, 2.5]):
+        p = os.path.join(root, f"noise_{i}.wav")
+        write_wav(
+            p, 0.2 * rng.standard_normal(int(sec * sr)).astype(np.float32), sr
+        )
+        noise_entries.append({"audio_filepath": p, "duration": sec})
+    paths = {
+        "clean": os.path.join(root, "manifest.clean"),
+        "noise": os.path.join(root, "manifest.noise"),
+        "premixed": os.path.join(root, "manifest.premixed"),
+    }
+    write_manifest(paths["clean"], clean_entries)
+    write_manifest(paths["noise"], noise_entries)
+    write_manifest(paths["premixed"], premixed_entries)
+    return paths
+
+
 def import_reference_module(relpath: str, name: str):
     """Import a module file from the read-only reference tree for use as a
     golden oracle in parity tests.  Unavailable third-party deps (librosa,

@@ -1,0 +1,184 @@
+"""Engine tests: checkpoint roundtrips, trainer run with validation and
+resume, inference, export."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import make_corpus
+
+from fullycnnspeechenhancement_tpu.config import (
+    Config,
+    DataConfig,
+    DSPConfig,
+    EvalConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from fullycnnspeechenhancement_tpu.models import get_model
+from fullycnnspeechenhancement_tpu.train import create_train_state
+from fullycnnspeechenhancement_tpu.train.checkpoint import (
+    CheckpointManager,
+    export_params_npz,
+    import_reference_npz,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine_corpus")
+    return make_corpus(str(root))
+
+
+def _config(tmp_path, **train_kwargs):
+    defaults = dict(
+        epochs=2,
+        batch_size=2,
+        lr=1e-3,
+        warmup_steps=50,
+        checkpoints_path=str(tmp_path / "ckpts"),
+        log_dir=str(tmp_path / "logs"),
+        valid_every_epochs=2,
+        num_iter_print=100,
+        continue_train=False,
+    )
+    defaults.update(train_kwargs)
+    return Config(
+        dsp=DSPConfig(),
+        model=ModelConfig(net_work="FullyCNN"),
+        train=TrainConfig(**defaults),
+        data=DataConfig(audio_save_path=str(tmp_path / "denoise")),
+        eval=EvalConfig(),
+    )
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _config(tmp_path)
+    model = get_model("FullyCNN")
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0))
+    state = state._replace(step=jnp.asarray(7, jnp.int32))
+    mgr = CheckpointManager(str(tmp_path / "ck"), "run", max_to_keep=2)
+    mgr.save(0, state)
+    like = create_train_state(cfg, model, jax.random.PRNGKey(1))
+    restored, epoch = mgr.restore(like)
+    assert epoch == 0
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["encode_1"]["w"]),
+        np.asarray(state.params["encode_1"]["w"]),
+    )
+    assert type(restored.opt_state) is type(state.opt_state)
+    mgr.close()
+
+
+def test_npz_import_export_roundtrip(tmp_path):
+    model = get_model("FullyCNNV2")
+    params, bn_state = model.init(jax.random.PRNGKey(2))
+    path = str(tmp_path / "w.npz")
+    export_params_npz(path, params, bn_state)
+    p2, b2 = import_reference_npz(path, model)
+    np.testing.assert_array_equal(
+        np.asarray(params["decode_8"]["w"]), np.asarray(p2["decode_8"]["w"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bn_state["encode_3"]["var"]), np.asarray(b2["encode_3"]["var"])
+    )
+    # quirk: V1's fifth encoder scope is encode_8 -- importer must honour it
+    v1 = get_model("FullyCNN")
+    p_v1, s_v1 = v1.init(jax.random.PRNGKey(3))
+    path2 = str(tmp_path / "v1.npz")
+    export_params_npz(path2, p_v1, s_v1)
+    blob = dict(np.load(path2))
+    assert "encode_8/kernel" in blob and "encode_5/kernel" not in blob
+
+
+def test_trainer_runs_validates_and_resumes(tmp_path, corpus):
+    from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
+    from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+    from fullycnnspeechenhancement_tpu.train.trainer import Trainer
+
+    cfg = _config(tmp_path)
+    ds = SpeechDataset(corpus["clean"], corpus["noise"], 8000, seed=0)
+    loader = DataLoader(
+        ds, cfg.dsp, 2, bucket_frames=(64, 128, 256), num_workers=2, seed=0
+    )
+    vds = SpeechDataset(corpus["premixed"], None, 8000)
+    vloader = DataLoader(
+        vds, cfg.dsp, 2, bucket_frames=(64, 128, 256), shuffle=False, num_workers=2
+    )
+    trainer = Trainer(cfg)
+    trainer.train(loader, vloader)
+    assert int(trainer.state.step) == 2 * len(loader)
+    # checkpoints for both epochs exist; scalars logged; validation ran
+    assert trainer.ckpt.latest_epoch() == 1
+    scalars = [
+        json.loads(l)
+        for l in open(glob.glob(str(tmp_path / "logs" / "scalars_*.jsonl"))[0])
+    ]
+    assert any("valid_stoi" in s for s in scalars)
+    assert any("loss" in s for s in scalars)
+    # wav triplets dumped
+    dumped = glob.glob(str(tmp_path / "denoise" / "1" / "*_de.wav"))
+    assert dumped
+    trainer.ckpt.close()
+
+    # resume: a fresh Trainer with continue_train picks up epoch 1 and
+    # trains only the remaining epochs
+    cfg2 = _config(tmp_path, continue_train=True, epochs=3)
+    trainer2 = Trainer(cfg2)
+    assert trainer2.start_epoch == 2
+    assert int(trainer2.state.step) == 2 * len(loader)
+    trainer2.train(loader, None)
+    assert int(trainer2.state.step) == 3 * len(loader)
+    trainer2.ckpt.close()
+
+
+def test_inference_engine_npz(tmp_path, corpus):
+    from fullycnnspeechenhancement_tpu.infer import InferenceEngine
+
+    model = get_model("FullyCNN")
+    params, bn_state = model.init(jax.random.PRNGKey(4))
+    npz = str(tmp_path / "w.npz")
+    export_params_npz(npz, params, bn_state)
+    cfg = _config(tmp_path)
+    cfg = Config(
+        dsp=cfg.dsp,
+        model=cfg.model,
+        train=cfg.train,
+        data=cfg.data,
+        eval=EvalConfig(checkpoint_filepath=npz),
+    )
+    engine = InferenceEngine(cfg)
+    wav_path = json.loads(open(corpus["clean"]).readline())["audio_filepath"]
+    out_path = engine.denoise(wav_path, save_path=str(tmp_path / "out"))
+    assert os.path.exists(out_path) and out_path.endswith("_de.wav")
+    from fullycnnspeechenhancement_tpu.data.audio_io import read_wav
+
+    den, sr = read_wav(out_path)
+    orig, _ = read_wav(wav_path)
+    assert sr == 8000 and len(den) == len(orig)
+    assert np.all(np.isfinite(den))
+
+
+def test_stablehlo_export_roundtrip(tmp_path):
+    from fullycnnspeechenhancement_tpu.export import (
+        export_stablehlo,
+        load_stablehlo,
+    )
+
+    cfg = _config(tmp_path)
+    model = get_model("FullyCNN")
+    params, bn_state = model.init(jax.random.PRNGKey(5))
+    path = str(tmp_path / "model.shlo")
+    export_stablehlo(cfg, params, bn_state, path, batch=1, frames=64)
+    exported = load_stablehlo(path)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 64, 129, 1)), jnp.float32)
+    y = exported.call(x)
+    direct, _ = model.apply(params, bn_state, x, is_training=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(direct), rtol=1e-4, atol=1e-5)
