@@ -36,15 +36,17 @@ def inverse_dft_basis(
 
     For spectra with only `num_bins` populated bins (the rest implicitly
     zero), irfft is x[n] = (1/nfft) * sum_k w_k (Re_k cos(2 pi k n / nfft)
-    - Im_k sin(...)), with w_0 = 1 and w_k = 2 for 0 < k < nfft/2 (bin
-    nfft/2 is absent when num_bins <= nfft//2).  Computed float64.
+    - Im_k sin(...)), with w_k = 1 for the DC and (when populated) Nyquist
+    bins and w_k = 2 otherwise.  Computed float64.
     """
-    assert num_bins <= nfft // 2, "basis assumes no populated Nyquist bin"
+    assert num_bins <= nfft // 2 + 1
     k = np.arange(num_bins)[:, None]
     n = np.arange(crop)[None, :]
     ang = 2.0 * np.pi * k * n / nfft
     weight = np.full((num_bins, 1), 2.0)
     weight[0, 0] = 1.0
+    if num_bins == nfft // 2 + 1:  # populated Nyquist bin
+        weight[-1, 0] = 1.0
     re_basis = weight * np.cos(ang) / nfft
     im_basis = -weight * np.sin(ang) / nfft
     basis = np.concatenate([re_basis, im_basis], axis=0)
@@ -72,20 +74,42 @@ def de_emphasis_scan(signal: jnp.ndarray, coef: float) -> jnp.ndarray:
     return y
 
 
+@functools.lru_cache(maxsize=None)
+def _ola_constants(cfg: DSPConfig):
+    """(synthesis-windowed inverse basis, window) for overlap-add mode.
+    The inverse here uses the ANALYSIS nfft (a true ISTFT), unlike the
+    reference path's 512-point quirk; synthesis window = analysis window
+    with window-power normalization at accumulation time."""
+    window = make_window(cfg.window_name, cfg.frame_length)
+    basis = inverse_dft_basis(
+        cfg.analysis_nfft, cfg.num_bins, cfg.frame_length, np.ones(cfg.frame_length)
+    )
+    return (
+        (basis * window[None, :]).astype(np.float32),
+        window.astype(np.float32),
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class WaveformRebuilder:
     """Device rebuild: (mag, phase_re, phase_im) [B,T,F] -> waveform [B, S].
 
-    S = overlap + T*step (pre-truncation; slice to utterance lengths on
-    host, utils.py:180-183).
+    mode="reference" (default, the parity path): S = overlap + T*step via
+    the reference's quirk chain.  mode="overlap_add": a mathematically
+    sound ISTFT -- irfft at the ANALYSIS nfft, synthesis-windowed
+    overlap-add with window-power normalization -- the corrected DSP mode
+    (SURVEY.md SS7 hard part 1) and the basis of the streaming engine.
     """
 
     cfg: DSPConfig
+    mode: str = "reference"
 
     def __call__(self, mag, phase_re, phase_im):
         cfg = self.cfg
         step = cfg.frame_step
         overlap = cfg.frame_length - step
+        if self.mode == "overlap_add":
+            return self._overlap_add(mag, phase_re, phase_im)
         basis = jnp.asarray(_basis_for(cfg))
         spec = jnp.concatenate([mag * phase_re, mag * phase_im], axis=-1)
         # [B, T, 2F] @ [2F, frame_length]: irfft + crop + de-window in one
@@ -95,6 +119,28 @@ class WaveformRebuilder:
         head = frames[:, 0, :overlap]
         body = frames[:, :, overlap:].reshape(frames.shape[0], -1)
         signal = jnp.concatenate([head, body], axis=1)
+        return de_emphasis_scan(signal, cfg.preemphasis)
+
+    def _overlap_add(self, mag, phase_re, phase_im):
+        cfg = self.cfg
+        step = cfg.frame_step
+        basis, window = _ola_constants(cfg)
+        spec = jnp.concatenate([mag * phase_re, mag * phase_im], axis=-1)
+        frames = jnp.matmul(
+            spec, jnp.asarray(basis), precision=jax.lax.Precision.HIGHEST
+        )  # [B, T, frame_length], synthesis-windowed
+        B, T, L = frames.shape
+        out_len = (T - 1) * step + L
+        # overlap-add: each frame accumulates at offset t*step, normalized
+        # by the accumulated squared window
+        pos = (np.arange(T)[:, None] * step + np.arange(L)[None, :]).reshape(-1)
+        signal = jax.vmap(
+            lambda row: jnp.zeros(out_len, jnp.float32).at[pos].add(row)
+        )(frames.reshape(B, -1))
+        wnorm = jnp.zeros(out_len, jnp.float32).at[pos].add(
+            jnp.tile(jnp.asarray(window) ** 2, T)
+        )
+        signal = signal / jnp.maximum(wnorm, 1e-6)
         return de_emphasis_scan(signal, cfg.preemphasis)
 
 

@@ -61,8 +61,19 @@ class ModelDef:
             ch = spec.out_ch
         return params, state
 
-    def apply(self, params, state, x, *, is_training: bool):
-        """NHWC [B, T, F, 1] -> [B, T, F, 1].  Returns (y, new_state)."""
+    def apply(self, params, state, x, *, is_training: bool, precision=None):
+        """NHWC [B, T, F, 1] -> [B, T, F, 1].  Returns (y, new_state).
+
+        `precision=None` selects by dtype: HIGHEST for float32 (parity
+        mode), DEFAULT for bfloat16 (the TPU fast path -- measured ~2.6x
+        conv throughput on v5e vs f32 HIGHEST).
+        """
+        if precision is None:
+            precision = (
+                jax.lax.Precision.HIGHEST
+                if x.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
         taps = {}
         new_state = {}
         for spec in self.layers:
@@ -76,6 +87,7 @@ class ModelDef:
                 use_norm=spec.use_norm,
                 use_act=spec.use_act,
                 skip_input=skip,
+                precision=precision,
             )
             if spec.add_from is not None:
                 y = y + taps[spec.add_from]

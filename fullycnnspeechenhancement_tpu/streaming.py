@@ -1,0 +1,226 @@
+"""Streaming (real-time) denoiser: frame-by-frame with overlap-add ISTFT.
+
+NEW capability: the reference lists a real-time demo as TODO
+(`/root/reference/readme.md:76-79`) and its `infer.py` processes whole
+files in one shot (SURVEY.md SS3.4).  BASELINE config #5 names this path.
+
+Design.  The model family's only time-extent conv is the first layer
+(kernel height 8, TF SAME pads 3 before / 4 after -- SURVEY.md SS2.1), so
+an interior output frame t depends exactly on input frames [t-3, t+4].
+The streamer therefore:
+
+  * buffers raw samples, carrying one sample of pre-emphasis state across
+    chunk boundaries;
+  * computes magnitude/phase for each completed 256-sample frame (hop 128);
+  * runs the jitted model on a sliding window of [3 history + chunk + 4
+    lookahead] frames, keeping only the chunk's interior outputs -- which
+    are bit-identical to what batch inference would produce for those
+    frames (stream start is primed with 3 zero frames to reproduce SAME
+    zero padding);
+  * synthesizes via true ISTFT overlap-add (synthesis window = analysis
+    Hamming, window-power normalized) with a streaming tail buffer, then
+    streams the de-emphasis IIR.
+
+Algorithmic latency: 4 lookahead frames x 16 ms = 64 ms, plus one chunk
+of buffering (chunk_frames=8 -> 128 ms worst case).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fullycnnspeechenhancement_tpu.config import Config
+from fullycnnspeechenhancement_tpu.dsp.rebuild import inverse_dft_basis
+from fullycnnspeechenhancement_tpu.dsp.windows import make_window
+from fullycnnspeechenhancement_tpu.models import get_model
+
+_HISTORY = 3  # (kh-1)//2 for the first conv's time kernel 8
+_LOOKAHEAD = 4  # kh//2
+
+
+class StreamingDenoiser:
+    def __init__(
+        self,
+        config: Config,
+        params,
+        bn_state,
+        chunk_frames: int = 8,
+    ):
+        self.cfg = config.dsp
+        assert self.cfg.frame_length == 2 * self.cfg.frame_step, (
+            "streaming assumes 50% overlap"
+        )
+        self.model = get_model(config.model.net_work)
+        self.params = params
+        self.bn_state = bn_state
+        self.chunk = chunk_frames
+
+        flen, step = self.cfg.frame_length, self.cfg.frame_step
+        window = make_window(self.cfg.window_name, flen)
+        self._window = window.astype(np.float32)
+        n = np.arange(flen)[:, None]
+        k = np.arange(self.cfg.num_bins)[None, :]
+        ang = -2.0 * np.pi * n * k / self.cfg.analysis_nfft
+        self._fwd_re = (window[:, None] * np.cos(ang)).astype(np.float32)
+        self._fwd_im = (window[:, None] * np.sin(ang)).astype(np.float32)
+        self._inv = (
+            inverse_dft_basis(
+                self.cfg.analysis_nfft, self.cfg.num_bins, flen, np.ones(flen)
+            )
+            * window[None, :]
+        ).astype(np.float32)
+
+        total = _HISTORY + self.chunk + _LOOKAHEAD
+
+        @jax.jit
+        def model_chunk(params, bn_state, mags):  # [total, F]
+            pred, _ = self.model.apply(
+                params, bn_state, mags[None, :, :, None], is_training=False
+            )
+            return pred[0, _HISTORY : _HISTORY + chunk_frames, :, 0]
+
+        self._model_chunk = model_chunk
+        self._total = total
+        self.reset()
+
+    def reset(self):
+        flen, step = self.cfg.frame_length, self.cfg.frame_step
+        self._sample_buf = np.zeros(0, np.float32)
+        self._last_raw = 0.0  # pre-emphasis carry
+        self._deemph_carry = 0.0
+        F = self.cfg.num_bins
+        # magnitude/phase ring primed with zeros == SAME zero padding
+        self._mags = np.zeros((_HISTORY, F), np.float32)
+        self._phases = np.zeros((_HISTORY, F), np.complex64)
+        self._pending = 0  # frames in the ring beyond history not yet emitted
+        # OLA tails: one frame of accumulated signal + window power
+        self._ola_tail = np.zeros(flen - step, np.float32)
+        self._ola_wtail = np.zeros(flen - step, np.float32)
+        self._started = False
+
+    @property
+    def latency_samples(self) -> int:
+        return _LOOKAHEAD * self.cfg.frame_step
+
+    def _analyze_new_frames(self):
+        """Consume full frames from the sample buffer into the mag/phase
+        ring (leaving frame_length - step samples of overlap behind)."""
+        flen, step = self.cfg.frame_length, self.cfg.frame_step
+        out = 0
+        while len(self._sample_buf) >= flen:
+            frame_raw = self._sample_buf[:flen]
+            prev = np.concatenate(([self._last_raw], frame_raw[:-1]))
+            emphasized = frame_raw - self.cfg.preemphasis * prev
+            re = emphasized @ self._fwd_re
+            im = emphasized @ self._fwd_im
+            mag = np.sqrt(re * re + im * im).astype(np.float32)
+            spec = re + 1j * im
+            phase = np.where(mag > 0, spec / np.maximum(mag, 1e-20), 1.0)
+            self._mags = np.concatenate([self._mags, mag[None]], 0)
+            self._phases = np.concatenate(
+                [self._phases, phase[None].astype(np.complex64)], 0
+            )
+            self._last_raw = self._sample_buf[step - 1]
+            self._sample_buf = self._sample_buf[step:]
+            self._pending += 1
+            out += 1
+        return out
+
+    def _synthesize(self, frames: np.ndarray) -> np.ndarray:
+        """Overlap-add `frames` [n, frame_length] (already synthesis-
+        windowed); emits n*step normalized samples, updating tails."""
+        flen, step = self.cfg.frame_length, self.cfg.frame_step
+        n = len(frames)
+        if n == 0:
+            return np.zeros(0, np.float32)
+        acc = np.zeros(n * step + (flen - step), np.float32)
+        wacc = np.zeros_like(acc)
+        acc[: flen - step] = self._ola_tail
+        wacc[: flen - step] = self._ola_wtail
+        w2 = self._window**2
+        for i, fr in enumerate(frames):
+            acc[i * step : i * step + flen] += fr
+            wacc[i * step : i * step + flen] += w2
+        emit = acc[: n * step] / np.maximum(wacc[: n * step], 1e-6)
+        self._ola_tail = acc[n * step :].copy()
+        self._ola_wtail = wacc[n * step :].copy()
+        # streaming de-emphasis y[n] = x[n] + c*y[n-1]
+        from scipy.signal import lfilter, lfiltic
+
+        zi = lfiltic([1.0], [1.0, -self.cfg.preemphasis], [self._deemph_carry])
+        out, zf = lfilter(
+            [1.0], [1.0, -self.cfg.preemphasis], emit, zi=zi
+        )
+        self._deemph_carry = out[-1] if len(out) else self._deemph_carry
+        return out.astype(np.float32)
+
+    def _process_ready_chunks(self, flush: bool = False) -> np.ndarray:
+        chunks = []
+        ready_at = 1 if flush else self.chunk + _LOOKAHEAD
+        while self._pending >= ready_at:
+            take = min(self.chunk, self._pending)
+            total_needed = _HISTORY + self.chunk + _LOOKAHEAD
+            mags = self._mags[: total_needed]
+            if len(mags) < total_needed:  # flush: pad future with zeros
+                mags = np.concatenate(
+                    [mags, np.zeros((total_needed - len(mags), mags.shape[1]),
+                                    np.float32)]
+                )
+            pred = np.asarray(
+                self._model_chunk(self.params, self.bn_state, jnp.asarray(mags))
+            )[:take]
+            phases = self._phases[_HISTORY : _HISTORY + take]
+            spec = pred * phases
+            both = np.concatenate([spec.real, spec.imag], axis=1).astype(
+                np.float32
+            )
+            frames = both @ self._inv  # [take, frame_length] windowed
+            chunks.append(self._synthesize(frames))
+            # slide the ring: drop `take` frames, keep history
+            self._mags = self._mags[take:]
+            self._phases = self._phases[take:]
+            self._pending -= take
+            if flush and self._pending <= 0:
+                break
+        if chunks:
+            return np.concatenate(chunks)
+        return np.zeros(0, np.float32)
+
+    def push(self, samples: np.ndarray) -> np.ndarray:
+        """Feed raw samples; returns whatever denoised samples are ready."""
+        self._sample_buf = np.concatenate(
+            [self._sample_buf, np.asarray(samples, np.float32)]
+        )
+        self._analyze_new_frames()
+        return self._process_ready_chunks()
+
+    def flush(self) -> np.ndarray:
+        """Drain: zero-pad the tail frame and emit everything remaining.
+
+        A tail frame only exists when the leftover exceeds flen - step --
+        the streaming restatement of the reference's frame-count formula
+        ceil(|L - flen|/step + 1) (audio_feature.py:70), keeping stream
+        output identical to batch output.
+        """
+        flen, step = self.cfg.frame_length, self.cfg.frame_step
+        if len(self._sample_buf) > flen - step:
+            pad = flen - len(self._sample_buf)
+            if pad > 0:
+                self._sample_buf = np.concatenate(
+                    [self._sample_buf, np.zeros(pad, np.float32)]
+                )
+            self._analyze_new_frames()
+        out = self._process_ready_chunks(flush=True)
+        # final tail (partially-covered samples)
+        tail = self._ola_tail / np.maximum(self._ola_wtail, 1e-6)
+        if len(tail):
+            from scipy.signal import lfilter, lfiltic
+
+            zi = lfiltic([1.0], [1.0, -self.cfg.preemphasis], [self._deemph_carry])
+            tail, _ = lfilter([1.0], [1.0, -self.cfg.preemphasis], tail, zi=zi)
+        return np.concatenate([out, tail.astype(np.float32)])
