@@ -36,10 +36,20 @@ class SpeechDataset:
         seed: int = 0,
         host_index: int = 0,
         host_count: int = 1,
+        use_native: bool = False,
     ):
         self.sample_rate = sample_rate
         self.snr_db = snr_db
         self.seed = seed
+        if use_native:
+            from fullycnnspeechenhancement_tpu.data import native
+
+            if not native.native_available():
+                raise RuntimeError(
+                    "use_native=True but libfcse_runtime.so is unavailable; "
+                    "run `make -C fullycnnspeechenhancement_tpu/runtime`"
+                )
+        self.use_native = use_native
         self.items: List[ManifestEntry] = shard_for_host(
             read_manifest(manifest_path, min_duration, max_duration),
             host_index,
@@ -75,6 +85,8 @@ class SpeechDataset:
     def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray]:
         """-> (mix_waveform, clean_waveform), float32 at self.sample_rate."""
         entry = self.items[index]
+        if self.use_native:
+            return self._getitem_native(index, entry)
         if entry.is_premixed:
             clean, _ = read_wav(entry.clean_audio_filepath, self.sample_rate)
             mix, _ = read_wav(entry.mix_audio_filepath, self.sample_rate)
@@ -88,6 +100,36 @@ class SpeechDataset:
         rng = np.random.default_rng((self.seed, self._epoch, index))
         mix = mix_at_snr(clean, noise, self.snr_db, rng)
         return mix, clean
+
+    def _getitem_native(self, index, entry):
+        """GIL-free decode+resample+mix through libfcse_runtime.  Mixing
+        randomness uses the C++ mt19937_64 stream seeded from
+        (seed, epoch, index) -- same semantics, different draws than the
+        Python path (document when comparing runs across paths)."""
+        from fullycnnspeechenhancement_tpu.data import native
+
+        if entry.is_premixed:
+            clean, sr_c = native.decode_wav(entry.clean_audio_filepath)
+            mix, sr_m = native.decode_wav(entry.mix_audio_filepath)
+            if sr_c != self.sample_rate:
+                clean = native.resample(clean, sr_c, self.sample_rate)
+            if sr_m != self.sample_rate:
+                mix = native.resample(mix, sr_m, self.sample_rate)
+            n = min(len(clean), len(mix))
+            return mix[:n], clean[:n]
+        noise_path = None
+        if self.noise_items is not None:
+            noise_path = self.noise_items[
+                self._noise_assignment[index]
+            ].audio_filepath
+        item_seed = (self.seed * 1000003 + self._epoch) * 1000003 + index
+        return native.prepare_item(
+            entry.audio_filepath,
+            noise_path,
+            self.sample_rate,
+            self.snr_db,
+            item_seed & 0xFFFFFFFFFFFFFFFF,
+        )
 
     @classmethod
     def from_config(

@@ -137,13 +137,16 @@ class Trainer:
                 )
                 if (i + 1) % cfg.num_iter_print == 0:
                     log.info(
-                        "epoch %d batch %d/%d loss %.4f(%.4f) data %.3fs step %.3fs",
+                        "epoch %d batch %d/%d loss %.4f(%.4f) "
+                        "data %.3fs(%.3fs) step %.3fs(%.3fs)",
                         epoch,
                         i + 1,
                         len(train_loader),
                         self.train_loss.val,
                         self.train_loss.avg,
+                        self.data_time.val,
                         self.data_time.avg,
+                        self.step_time.val,
                         self.step_time.avg,
                     )
                 t_data = time.perf_counter()
