@@ -45,8 +45,16 @@ def bench_tpu(batch=64, seconds_per_utt=8.0, iters=50, repeats=3):
     from fullycnnspeechenhancement_tpu.train import create_train_state
     from fullycnnspeechenhancement_tpu.train.step import Batch, make_train_step
 
+    from fullycnnspeechenhancement_tpu.config import ModelConfig
+
     samples = int(seconds_per_utt * 8000)
-    config = Config(train=TrainConfig(batch_size=batch, lr=1.5e-3))
+    # bf16 fast path (the TPU-native training mode; f32-HIGHEST is the
+    # numerics-parity mode, ~3.6x slower, same loss trajectory -- see
+    # models/rced.py).
+    config = Config(
+        model=ModelConfig(net_work="FullyCNNV2", compute_dtype="bfloat16"),
+        train=TrainConfig(batch_size=batch, lr=1.5e-3),
+    )
     model = get_model("FullyCNNV2")
     state = create_train_state(config, model, jax.random.PRNGKey(0))
     step = make_train_step(config, model)

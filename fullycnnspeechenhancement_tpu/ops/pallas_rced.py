@@ -21,6 +21,15 @@ one write.  BN folding: y = gamma*(conv+b-mean)/sqrt(var+eps)+beta ==
 conv_with(w*s) + (b-mean)*s + beta where s = gamma/sqrt(var+eps); the
 skip-add happens after BN and before ReLU, so folding preserves the
 reference ordering (module.py:27-34).
+
+STATUS: correctness-verified (tests/test_pallas.py runs it in interpret
+mode against model.apply for all three variants).  On this environment's
+remote-Mosaic-compile service, kernels containing sub-lane-misaligned
+frequency slices intermittently hang or crash the compile helper
+(benchmarks/micro_pallas_min.py reproduces: a plain rank-3 dot compiles
+in ~22 s, a padded-shifted-slice variant returns HTTP 500 or hangs), so
+the XLA layer-by-layer path remains the default on-device inference
+route; flip to this kernel on toolchains where Mosaic compiles it.
 """
 
 from __future__ import annotations
