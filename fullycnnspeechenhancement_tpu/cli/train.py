@@ -18,7 +18,12 @@ from fullycnnspeechenhancement_tpu.data.loader import DataLoader
 
 
 def build_loaders(config: Config, num_workers: int):
-    train_ds = SpeechDataset.from_config(config.data, config.dsp, "train")
+    from fullycnnspeechenhancement_tpu.parallel import multihost
+
+    hi, hc = multihost.host_index(), multihost.host_count()
+    train_ds = SpeechDataset.from_config(
+        config.data, config.dsp, "train", host_index=hi, host_count=hc
+    )
     train_loader = DataLoader(
         train_ds,
         config.dsp,
@@ -52,6 +57,9 @@ def main(argv=None):
     )
     args = parser.parse_args(argv)
 
+    from fullycnnspeechenhancement_tpu.parallel import multihost
+
+    multihost.maybe_initialize_from_env()
     enable_compilation_cache()
     config = load_ini_config(args.cfg)
     logger = setup_file_logger(

@@ -36,6 +36,7 @@ from fullycnnspeechenhancement_tpu.parallel import (
     shard_batch,
 )
 from fullycnnspeechenhancement_tpu.train.checkpoint import CheckpointManager
+from fullycnnspeechenhancement_tpu.train.profiling import StepProfiler
 from fullycnnspeechenhancement_tpu.train.step import (
     Batch,
     create_train_state,
@@ -87,6 +88,7 @@ class Trainer:
         self.train_loss = AverageMeter()
         self.data_time = AverageMeter()
         self.step_time = AverageMeter()
+        self.profiler = StepProfiler()
 
         os.makedirs(config.train.log_dir, exist_ok=True)
         self._scalars_path = os.path.join(
@@ -132,6 +134,7 @@ class Trainer:
                 self.train_loss.update(loss)
                 epoch_audio_s += float(b.lengths.sum()) / self.config.dsp.sample_rate
                 step = int(metrics["step"])
+                self.profiler.step(step)
                 self._log_scalars(
                     step=step, loss=loss, lr=float(metrics["lr"]), epoch=epoch
                 )
@@ -161,6 +164,7 @@ class Trainer:
             self.ckpt.save(epoch, self.state)
             if valid_loader is not None and (epoch + 1) % cfg.valid_every_epochs == 0:
                 self.validate(valid_loader, epoch, log)
+        self.profiler.close()
 
     def validate(self, valid_loader: DataLoader, epoch: int, log=None):
         log = log or logger

@@ -1,0 +1,88 @@
+"""Aux subsystems: profiling hooks, multi-host helpers, prep utilities."""
+
+import os
+
+import numpy as np
+import pytest
+
+from fullycnnspeechenhancement_tpu.parallel import multihost
+from fullycnnspeechenhancement_tpu.train.profiling import StepProfiler
+
+
+def test_multihost_identity_single_host():
+    assert multihost.host_index() == 0
+    assert multihost.host_count() == 1
+    assert multihost.local_batch_size(8) == 8
+
+
+def test_step_profiler_noop_without_env(monkeypatch):
+    monkeypatch.delenv("FCSE_PROFILE_DIR", raising=False)
+    p = StepProfiler()
+    for s in range(20):
+        p.step(s)  # must be a no-op, no trace started
+    p.close()
+    assert p.dir is None
+
+
+def test_step_profiler_traces_window(tmp_path, monkeypatch):
+    monkeypatch.setenv("FCSE_PROFILE_DIR", str(tmp_path / "prof"))
+    monkeypatch.setenv("FCSE_PROFILE_START", "2")
+    monkeypatch.setenv("FCSE_PROFILE_STEPS", "2")
+    import jax
+    import jax.numpy as jnp
+
+    p = StepProfiler()
+    f = jax.jit(lambda x: x * 2)
+    for s in range(6):
+        f(jnp.ones(4)).block_until_ready()
+        p.step(s)
+    p.close()
+    assert p._done
+    # trace directory produced something
+    files = []
+    for root, _, names in os.walk(str(tmp_path / "prof")):
+        files += names
+    assert files, "profiler produced no trace files"
+
+
+def test_prepare_common_unpack_roundtrip(tmp_path):
+    import tarfile
+    import zipfile
+
+    from fullycnnspeechenhancement_tpu.data.prepare import md5file, unpack
+
+    src = tmp_path / "payload.txt"
+    src.write_text("hello")
+    tar_path = str(tmp_path / "a.tar")
+    with tarfile.open(tar_path, "w") as tar:
+        tar.add(str(src), arcname="payload.txt")
+    unpack(tar_path, str(tmp_path / "out_tar"))
+    assert (tmp_path / "out_tar" / "payload.txt").read_text() == "hello"
+
+    zip_path = str(tmp_path / "a.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        zf.write(str(src), arcname="payload.txt")
+    unpack(zip_path, str(tmp_path / "out_zip"))
+    assert (tmp_path / "out_zip" / "payload.txt").read_text() == "hello"
+
+    assert len(md5file(tar_path)) == 32
+
+
+def test_aishell2_speaker_split(tmp_path):
+    from fullycnnspeechenhancement_tpu.data.prepare.aishell_2 import (
+        read_speaker_split,
+    )
+
+    lines = []
+    for i in range(25):
+        lines.append(f"S{i:04d}\tage\t女\tother")
+    for i in range(25, 55):
+        lines.append(f"S{i:04d}\tage\t男\tother")
+    p = tmp_path / "spk_info.txt"
+    p.write_text("\n".join(lines))
+    dev, test = read_speaker_split(str(p))
+    assert len(dev) == 20 and len(test) == 20
+    # first 10 of each gender (numeric order) go to dev
+    assert "S0000" in dev and "S0025" in dev
+    assert "S0010" in test and "S0035" in test
+    assert "S0020" not in dev and "S0020" not in test
