@@ -86,6 +86,12 @@ class ModelConfig:
     # Compute dtype for conv stacks.  float32 matches the reference; bfloat16
     # is the TPU-native fast path (params stay f32, activations bf16).
     compute_dtype: str = "float32"
+    # Serve inference through the fused Pallas whole-stack kernel
+    # (ops/pallas_rced.py): one HBM read + one write for the inner conv
+    # stack instead of a round trip per layer.  Numerics: MXU-default f32
+    # (~2e-3 relative vs the HIGHEST-precision XLA path), so parity tests
+    # keep this off; throughput serving turns it on.
+    fused_inference: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -196,6 +202,9 @@ def load_ini_config(path: str) -> Config:
         net_work=_get(cp, "model", "net_work", "FullyCNN"),
         feature_dim=int(_get(cp, "data", "feature_dim", dsp.num_bins)),
         compute_dtype=_get(cp, "model", "compute_dtype", "float32"),
+        fused_inference=str(
+            _get(cp, "model", "fused_inference", "False")
+        ).lower() in ("1", "true", "yes"),
     )
 
     train_kwargs = {}

@@ -48,6 +48,13 @@ class InferenceEngine:
 
         def denoise_fn(params, bn_state, wav, lengths):
             mag, pre, pim = self.ext.magnitude_and_phase(wav, lengths)
+            if config.model.fused_inference:
+                from fullycnnspeechenhancement_tpu.ops import (
+                    fused_inference_forward,
+                )
+
+                pred = fused_inference_forward(self.model, params, bn_state, mag)
+                return self.reb(pred.astype(jnp.float32), pre, pim)
             pred, _ = self.model.apply(
                 params, bn_state, mag[..., None], is_training=False
             )

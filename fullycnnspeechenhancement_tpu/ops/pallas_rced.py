@@ -6,36 +6,47 @@ the MXU runs at a few percent utilization and the step is dominated by
 HBM round-trips and per-op overhead.  The structure of the model family
 (SURVEY.md SS2.1: only the FIRST conv looks across time; every later layer
 is a per-frame frequency conv) lets the whole remainder of the network run
-out of VMEM:
+out of VMEM.
 
-  * layer 1 (time kernel 8) runs as one small XLA conv -- ~3% of FLOPs;
-  * this kernel fuses ALL remaining layers: activations for a
-    [T_TILE, 129, C] slab plus every weight (~32k params) live in VMEM;
-    each frequency conv is computed as k accumulated MXU matmuls of
-    freq-shifted slabs ([T_TILE*129, Cin] @ [Cin, Cout]), with BN folded
-    into the conv weights (inference form), skip-adds read from VMEM tap
-    buffers, and only the final [T_TILE, 129, 1] slab written back to HBM.
+Kernel formulation (lane-aligned; the earlier [T, 129, C]-blocked variant
+crashed this platform's Mosaic compile service on its misaligned slices):
 
-HBM traffic drops from ~16 activation round trips to exactly one read +
-one write.  BN folding: y = gamma*(conv+b-mean)/sqrt(var+eps)+beta ==
-conv_with(w*s) + (b-mean)*s + beta where s = gamma/sqrt(var+eps); the
-skip-add happens after BN and before ReLU, so folding preserves the
-reference ordering (module.py:27-34).
+  * activations live as 2D slabs [C_pad, N] -- channels on sublanes
+    (padded to multiples of 8), flattened (time, freq) on lanes with the
+    frequency axis zero-padded 129 -> F_PAD=136 so N = t_tile * 136 is a
+    multiple of 128 lanes (136*16 == 17*128);
+  * a frequency shift by s is then `pltpu.roll(x, -s mod N, axis=1)`: the
+    7 zero lanes of pad per frame absorb cross-frame bleed for |s| <= 6,
+    which covers every inner-layer kernel (max width 13 -> shift 6);
+  * each conv layer is ONE MXU matmul: the k rolled copies are
+    concatenated into an im2col slab [k*C_pad, N] and multiplied by the
+    BN-folded packed weight [Cout_pad, k*C_pad] -- contraction depth
+    ~128-350 instead of 25, so the MXU's K dimension is actually fed;
+  * bias add, pad-band re-zeroing mask, skip-add (pre-ReLU, V1/V2),
+    ReLU, and block-output residual add (post-ReLU, V3) all run on the
+    VPU with every tap slab resident in VMEM;
+  * layer 1 (the only time-extent conv, kernel height 8) and the final
+    (1,129) projection (whose 129-wide taps exceed the pad gap) run as
+    plain XLA convs outside the kernel.
 
-STATUS: correctness-verified (tests/test_pallas.py runs it in interpret
-mode against model.apply for all three variants).  On this environment's
-remote-Mosaic-compile service, kernels containing sub-lane-misaligned
-frequency slices intermittently hang or crash the compile helper
-(benchmarks/micro_pallas_min.py reproduces: a plain rank-3 dot compiles
-in ~22 s, a padded-shifted-slice variant returns HTTP 500 or hangs), so
-the XLA layer-by-layer path remains the default on-device inference
-route; flip to this kernel on toolchains where Mosaic compiles it.
+HBM traffic for the inner 8-14 layers drops from one round trip per layer
+to exactly one read + one write per slab.  BN folding: y =
+gamma*(conv+b-mean)/sqrt(var+eps)+beta == conv_with(w*s) + (b-mean)*s +
+beta where s = gamma/sqrt(var+eps); the skip-add happens after BN and
+before ReLU, so folding preserves the reference ordering (module.py:27-34).
+
+Verified two ways: tests/test_pallas.py runs the kernel in interpret mode
+against model.apply for all three variants (CPU, exact); on the real chip
+the MXU's default f32 precision gives ~2e-3 relative waveform error vs
+the HIGHEST-precision XLA path -- use the XLA path for bit-parity claims
+and this kernel for throughput serving.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,11 +58,16 @@ from fullycnnspeechenhancement_tpu.models.blocks import BN_EPSILON, tf_same_pads
 from fullycnnspeechenhancement_tpu.models.rced import ConvSpec, ModelDef
 
 F_DIM = 129
+F_PAD = 136  # multiple of 8; pad gap 7 > max inner-layer shift 6
+
+
+def _pad8(c: int) -> int:
+    return ((c + 7) // 8) * 8
 
 
 def fold_bn_inference(model: ModelDef, params, bn_state):
-    """-> list of (spec, w_folded [k,Cin,Cout] or [kh,kw,Cin,Cout], b_folded)
-    for inference-mode BN."""
+    """-> list of (spec, w_folded [kh,kw,Cin,Cout], b_folded [Cout]) for
+    inference-mode BN."""
     folded = []
     for spec in model.layers:
         p = params[spec.name]
@@ -65,46 +81,140 @@ def fold_bn_inference(model: ModelDef, params, bn_state):
     return folded
 
 
-def _freq_conv_in_kernel(x, w, b, kernel_w: int):
-    """x [T, F, Cin] (VMEM value), w [kw, Cin, Cout], b [Cout] ->
-    [T, F, Cout] via kw accumulated matmuls of freq-shifted slabs."""
-    lo, hi = (kernel_w - 1) // 2, kernel_w // 2
-    T = x.shape[0]
-    xp = jnp.pad(x, ((0, 0), (lo, hi), (0, 0)))
-    rows = T * F_DIM
-    acc = jnp.zeros((rows, w.shape[2]), jnp.float32)
-    for j in range(kernel_w):
-        slab = xp[:, j : j + F_DIM, :].reshape(rows, x.shape[2])
-        acc = acc + jnp.dot(
-            slab, w[j], preferred_element_type=jnp.float32
+@dataclasses.dataclass(frozen=True)
+class _LayerPlan:
+    """Static per-layer description baked into the kernel."""
+
+    name: str
+    kw: int
+    cin_pad: int
+    cout_pad: int
+    skip_from: Optional[str]  # pre-ReLU skip tap (V1/V2)
+    add_from: Optional[str]  # post-ReLU residual tap (V3)
+    use_act: bool
+
+
+def _pack_weights(folded_inner):
+    """Pack BN-folded inner-layer weights for the kernel.
+
+    Returns (plans, packed) where packed[i] = (wcol [cout_pad, kw*cin_pad],
+    bias [cout_pad, 1]) as float32 numpy-backed jnp arrays.  Row order of
+    the im2col slab is (tap j, padded channel ci), matching the kernel's
+    concat of rolled copies.
+    """
+    plans, packed = [], []
+    for spec, w, b in folded_inner:
+        kh, kw, cin, cout = w.shape
+        assert kh == 1, f"inner layer {spec.name} must be freq-only"
+        cin_p, cout_p = _pad8(cin), _pad8(cout)
+        wcol = jnp.zeros((cout_p, kw * cin_p), jnp.float32)
+        for j in range(kw):
+            wcol = wcol.at[:cout, j * cin_p : j * cin_p + cin].set(w[0, j].T)
+        bias = jnp.zeros((cout_p, 1), jnp.float32).at[:cout, 0].set(b)
+        plans.append(
+            _LayerPlan(
+                spec.name, kw, cin_p, cout_p, spec.skip_from, spec.add_from,
+                spec.use_act,
+            )
         )
-    return (acc + b[None, :]).reshape(T, F_DIM, w.shape[2])
+        packed.append((wcol, bias))
+    return tuple(plans), packed
 
 
-def fused_inference_forward(model, params, bn_state, mag, t_tile: int = 64):
+def _stack_kernel(plans: Tuple[_LayerPlan, ...], n_lanes: int, mxu_dtype):
+    """Build the fused kernel body for a static layer plan.
+
+    Slabs are stored float32 regardless of `mxu_dtype` -- Mosaic's lane
+    rotate only supports 32-bit data -- but the matmul operands are cast
+    to `mxu_dtype` (bfloat16 halves MXU passes; accumulation stays f32
+    via preferred_element_type).
+    """
+
+    def kernel(x_ref, *refs):
+        out_ref = refs[-1]
+        wrefs = refs[:-1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, n_lanes), 1) % F_PAD
+        mask = (col < F_DIM).astype(jnp.float32)
+        x = x_ref[0].astype(jnp.float32)
+        taps = {"__input__": x}
+        for i, lp in enumerate(plans):
+            wcol = wrefs[2 * i][...]  # already mxu_dtype
+            bias = wrefs[2 * i + 1][...].astype(jnp.float32)
+            lo = (lp.kw - 1) // 2
+            cols = [
+                pltpu.roll(x, (lo - j) % n_lanes, axis=1) for j in range(lp.kw)
+            ]
+            xcol = cols[0] if lp.kw == 1 else jnp.concatenate(cols, axis=0)
+            y = jax.lax.dot_general(
+                wcol, xcol.astype(mxu_dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # bias + pad-band re-zeroing (rolled-in junk must not leak into
+            # the next layer's shifted reads)
+            y = (y + bias) * mask
+            if lp.skip_from is not None:
+                y = y + taps[lp.skip_from]
+            if lp.use_act:
+                y = jnp.maximum(y, 0.0)
+            if lp.add_from is not None:
+                y = y + taps[lp.add_from]
+            taps[lp.name] = y
+            x = y
+        out_ref[0] = x.astype(out_ref.dtype)
+
+    return kernel
+
+
+def _to_flat(x: jnp.ndarray, c_pad: int) -> jnp.ndarray:
+    """[B, T, F_DIM, C] -> [B, c_pad, T*F_PAD] (channel+freq zero-pad,
+    channels-first flatten)."""
+    B, T, F, C = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, F_PAD - F), (0, c_pad - C)))
+    return x.transpose(0, 3, 1, 2).reshape(B, c_pad, T * F_PAD)
+
+
+def _from_flat(z: jnp.ndarray, T: int, c_true: int) -> jnp.ndarray:
+    """[B, c_pad, T*F_PAD] -> [B, T, F_DIM, c_true]."""
+    B, c_pad, _ = z.shape
+    z = z.reshape(B, c_pad, T, F_PAD).transpose(0, 2, 3, 1)
+    return z[:, :, :F_DIM, :c_true]
+
+
+def fused_inference_forward(
+    model, params, bn_state, mag, t_tile: int = 32, dtype: str = "float32"
+):
     """See `_fused_inference_forward`; resolves interpret mode (CPU tests)
     at call time."""
     interpret = jax.default_backend() == "cpu"
     return _fused_inference_forward(
-        model, params, bn_state, mag, t_tile=t_tile, interpret=interpret
+        model, params, bn_state, mag, t_tile=t_tile, dtype=dtype,
+        interpret=interpret,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("model", "t_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("model", "t_tile", "dtype", "interpret")
+)
 def _fused_inference_forward(
     model: ModelDef,
     params,
     bn_state,
     mag: jnp.ndarray,
-    t_tile: int = 64,
+    t_tile: int = 32,
+    dtype: str = "float32",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, T, F] magnitude -> [B, T, F] enhanced magnitude, inference mode.
 
-    Equivalent to `model.apply(..., is_training=False)` on [B,T,F,1] with
-    BN folded; T must not be huge (one [t_tile] slab of every tap layer
-    must fit VMEM -- t_tile=64 keeps the V2 working set ~6 MB in f32).
+    Equivalent to `model.apply(..., is_training=False)` on [B,T,F,1] with BN
+    folded.  t_tile frames of every tap slab live in VMEM at once
+    (t_tile=32 keeps the V2 working set ~4 MB in f32).  `dtype` selects
+    the MXU operand type: "bfloat16" halves matmul passes (accumulation
+    stays f32 via preferred_element_type; slabs stay f32 in VMEM because
+    Mosaic's lane rotate requires 32-bit data) at XLA-bf16-comparable
+    accuracy.
     """
+    mxu_dt = jnp.dtype(dtype)
     B, T, F = mag.shape
     assert F == F_DIM, f"kernel is specialized for F={F_DIM}"
     folded = fold_bn_inference(model, params, bn_state)
@@ -114,85 +224,85 @@ def _fused_inference_forward(
     x = mag[..., None]
     y1 = jax.lax.conv_general_dilated(
         x,
-        w1,
+        w1.astype(x.dtype),
         (1, 1),
         tf_same_pads(first_spec.kernel),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + b1
+    ) + b1.astype(x.dtype)
     if first_spec.use_act:
         y1 = jax.nn.relu(y1)
-    first_name = first_spec.name
 
-    rest = folded[1:]
-    specs = tuple(s for s, _, _ in rest)
-    # Taps referencing layer 1 read the kernel's input slab; rewrite the
-    # name so the in-kernel tap dict finds it.
-    specs = tuple(
-        ConvSpec(
-            s.name,
-            s.out_ch,
-            s.kernel,
-            s.use_norm,
-            s.use_act,
-            "__input__" if s.skip_from == first_name else s.skip_from,
-            "__input__" if s.add_from == first_name else s.add_from,
+    # Final (1, F_DIM) projection via XLA: its 129-wide taps exceed the
+    # kernel's 7-lane pad gap.
+    last_spec, w_last, b_last = folded[-1]
+    inner = folded[1:-1]
+
+    plans, packed = _pack_weights(inner)
+    # Taps referencing layer 1 read the kernel's input slab.
+    first_name = first_spec.name
+    plans = tuple(
+        dataclasses.replace(
+            lp,
+            skip_from="__input__" if lp.skip_from == first_name else lp.skip_from,
+            add_from="__input__" if lp.add_from == first_name else lp.add_from,
         )
-        for s in specs
+        for lp in plans
     )
 
-    def kernel(x_ref, *refs):
-        out_ref = refs[-1]
-        wrefs = refs[:-1]
-        x = x_ref[0].astype(jnp.float32)
-        taps = {"__input__": x}
-        for i, spec in enumerate(specs):
-            w = wrefs[2 * i][...].astype(jnp.float32)
-            b = wrefs[2 * i + 1][...].astype(jnp.float32)[0]  # [1,Cout]->[Cout]
-            y = _freq_conv_in_kernel(x, w, b, spec.kernel[1])
-            if spec.skip_from is not None:
-                y = y + taps[spec.skip_from]
-            if spec.use_act:
-                y = jnp.maximum(y, 0.0)
-            if spec.add_from is not None:
-                y = y + taps[spec.add_from]
-            taps[spec.name] = y
-            x = y
-        out_ref[0] = x[..., 0].astype(out_ref.dtype)
+    c_in_pad = plans[0].cin_pad
+    c_out_pad = plans[-1].cout_pad
+    cout_true = inner[-1][0].out_ch
 
-    # Pad T to a tile multiple.
+    # Pad T to a tile multiple and flatten to the kernel layout.
     T_pad = ((T + t_tile - 1) // t_tile) * t_tile
     if T_pad != T:
         y1 = jnp.pad(y1, ((0, 0), (0, T_pad - T), (0, 0), (0, 0)))
+    xf = _to_flat(y1, c_in_pad)
 
-    weight_args = []
-    in_specs = [
+    n_lanes = t_tile * F_PAD
+    kernel = _stack_kernel(plans, n_lanes, mxu_dt)
+
+    weight_args, in_specs = [], [
         pl.BlockSpec(
-            (1, t_tile, F_DIM, y1.shape[-1]),
-            lambda b, t: (b, t, 0, 0),
+            (1, c_in_pad, n_lanes),
+            lambda b, t: (b, 0, t),
             memory_space=pltpu.VMEM,
         )
     ]
-    for spec, w, b in rest:
-        # freq-only kernels: squeeze the unit time dim -> [kw, Cin, Cout];
-        # biases as [1, Cout] (TPU wants >=2D operands)
-        weight_args += [w[0], b[None, :]]
+    for wcol, bias in packed:
+        weight_args += [wcol.astype(mxu_dt), bias]
         in_specs += [
             pl.BlockSpec(
-                w[0].shape, lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM
+                wcol.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, b.shape[0]), lambda b, t: (0, 0), memory_space=pltpu.VMEM
+                bias.shape, lambda b, t: (0, 0), memory_space=pltpu.VMEM
             ),
         ]
 
-    out = pl.pallas_call(
+    z = pl.pallas_call(
         kernel,
         grid=(B, T_pad // t_tile),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, t_tile, F_DIM), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (1, c_out_pad, n_lanes),
+            lambda b, t: (b, 0, t),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, T_pad, F_DIM), mag.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, c_out_pad, T_pad * F_PAD), mag.dtype
+        ),
         interpret=interpret,
-    )(y1, *weight_args)
-    return out[:, :T]
+    )(xf, *weight_args)
+
+    zh = _from_flat(z, T_pad, cout_true)[:, :T]
+    out = jax.lax.conv_general_dilated(
+        zh,
+        w_last.astype(zh.dtype),
+        (1, 1),
+        tf_same_pads(last_spec.kernel),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + b_last.astype(zh.dtype)
+    if last_spec.use_act:
+        out = jax.nn.relu(out)
+    return out[..., 0]

@@ -124,9 +124,17 @@ def make_eval_step(config: Config, model: ModelDef, is_training: bool = False):
     """
     ext = SpectrogramExtractor(config.dsp)
     compute_dtype = jnp.dtype(config.model.compute_dtype)
+    use_fused = config.model.fused_inference and not is_training
 
     def eval_step(params, bn_state, mix_wav, lengths):
         mag, phase_re, phase_im = ext.magnitude_and_phase(mix_wav, lengths)
+        if use_fused:
+            # Whole-stack Pallas kernel (ops/pallas_rced.py): inner layers
+            # run out of VMEM, BN folded (inference mode only).
+            from fullycnnspeechenhancement_tpu.ops import fused_inference_forward
+
+            pred = fused_inference_forward(model, params, bn_state, mag)
+            return pred.astype(jnp.float32), phase_re, phase_im
         x = mag[..., None].astype(compute_dtype)
         pred, _ = model.apply(params, bn_state, x, is_training=is_training)
         return pred[..., 0].astype(jnp.float32), phase_re, phase_im

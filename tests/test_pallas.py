@@ -73,3 +73,40 @@ def test_bn_folding_math():
         precision=jax.lax.Precision.HIGHEST,
     ) + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_eval_step_fused_flag_matches_xla():
+    """make_eval_step honours ModelConfig.fused_inference (interpret mode
+    on CPU) and agrees with the XLA path."""
+    from fullycnnspeechenhancement_tpu.config import Config, ModelConfig
+    from fullycnnspeechenhancement_tpu.train.step import make_eval_step
+
+    rng = np.random.default_rng(3)
+    wav = jnp.asarray(rng.standard_normal((2, 8000)), jnp.float32)
+    lengths = jnp.asarray([8000, 6100], jnp.int32)
+
+    cfg_xla = Config(model=ModelConfig(net_work="FullyCNNV2"))
+    cfg_fused = Config(
+        model=ModelConfig(net_work="FullyCNNV2", fused_inference=True)
+    )
+    model = get_model("FullyCNNV2")
+    params, bn = model.init(jax.random.PRNGKey(4))
+    bn = _randomized_bn(bn, seed=5)
+
+    ref = make_eval_step(cfg_xla, model)(params, bn, wav, lengths)
+    got = make_eval_step(cfg_fused, model)(params, bn, wav, lengths)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=1e-4, atol=1e-5)
+
+
+def test_fused_bfloat16_mode_close():
+    """bf16 slab storage: looser tolerance, same structure."""
+    model = get_model("FullyCNNV2")
+    params, bn = model.init(jax.random.PRNGKey(6))
+    bn = _randomized_bn(bn, seed=7)
+    mag = jnp.asarray(np.random.default_rng(8).random((1, 40, 129)), jnp.float32)
+    ref, _ = model.apply(params, bn, mag[..., None], is_training=False)
+    got = fused_inference_forward(model, params, bn, mag, t_tile=32, dtype="bfloat16")
+    ref = np.asarray(ref[..., 0])
+    scale = np.abs(ref).max()
+    assert np.abs(np.asarray(got) - ref).max() < 0.05 * scale
