@@ -70,9 +70,12 @@ T_TILE = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 DTYPE = sys.argv[4] if len(sys.argv) > 4 else "float32"
 
 
+FORM = sys.argv[5] if len(sys.argv) > 5 else "im2col"
+
+
 def fused(mag):
     return _fused_inference_forward(
-        model, params, bn, mag, t_tile=T_TILE, dtype=DTYPE
+        model, params, bn, mag, t_tile=T_TILE, dtype=DTYPE, formulation=FORM
     )
 
 
@@ -81,7 +84,7 @@ if MODE == "xla32":
 elif MODE == "xla16":
     timeit("XLA bf16", xla_fwd_bf16)
 elif MODE == "fused":
-    timeit(f"fused pallas {DTYPE} t{T_TILE}", fused)
+    timeit(f"fused pallas {DTYPE} t{T_TILE} {FORM}", fused)
 elif MODE == "check":
     ref = np.asarray(xla_fwd(mag))
     got = np.asarray(fused(mag))

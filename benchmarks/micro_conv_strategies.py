@@ -142,3 +142,62 @@ for label, f, xx in (
 ):
     gf = mk_loss(functools.partial(chain14, f))
     timeit(label, lambda x, w, s, gf=gf: gsum(gf(x, w, s)), xx, w)
+
+print("== strategy D: freq-to-depth (block freq into channels) ==")
+# x [B,T,129,C] -> pad F to FB*NB -> [B,T,NB, FB*C]; the (1,k) freq conv
+# becomes a (1,KB) conv over NB blocks with FB*C channels: dense MXU
+# shapes (~128-256 channels) at (KB*FB/k)x the FLOPs -- memory-bound
+# shapes, so the extra FLOPs ride free.  Weight transform is exact:
+# W[d, v*Cin+ci, u*Cout+co] = w[(d-dc)*FB + v - u + lo, ci, co].
+
+
+def make_blocked(FB, KB):
+    NB = -(-F // FB)
+    FT = NB * FB
+    dc = (KB - 1) // 2
+    lo = (K - 1) // 2
+
+    def to_blocked(x):  # [B,T,F,C] -> [B,T,NB,FB*C]
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, FT - F), (0, 0)))
+        return xp.reshape(B, T, NB, FB * C)
+
+    wb = np.zeros((1, KB, FB * C, FB * C), np.float32)
+    wn = np.asarray(w, np.float32)
+    for d in range(KB):
+        for v in range(FB):
+            for u in range(FB):
+                j = (d - dc) * FB + v - u + lo
+                if 0 <= j < K:
+                    wb[0, d, v * C : (v + 1) * C, u * C : (u + 1) * C] = wn[0, j]
+    wb = jnp.asarray(wb, DT)
+    fmask = (np.arange(FT).reshape(NB, FB * 1) // 1)  # placeholder
+    col = jnp.asarray(
+        (np.arange(FT) < F).astype(np.float32).reshape(1, 1, NB, FB, 1)
+        .repeat(C, 4).reshape(1, 1, NB, FB * C), DT,
+    )
+
+    def conv_blocked(xb, wb_, scale):
+        y = jax.lax.conv_general_dilated(
+            xb, wb_ * scale, (1, 1), [(0, 0), (dc, KB - 1 - dc)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y * col
+
+    return to_blocked, conv_blocked, wb
+
+
+for FB, KB in ((4, 3), (8, 3)):
+    to_b, conv_b, wb = make_blocked(FB, KB)
+    xb = to_b(x_nhwc)
+    # numeric check vs strategy A (one layer)
+    ref = np.asarray(conv_nhwc(x_nhwc, w, scale), np.float32)
+    got = np.asarray(conv_b(xb, wb, scale), np.float32)
+    NB = xb.shape[2]
+    got = got.reshape(B, T, NB * FB, C)[:, :, :F, :]
+    err = np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-9)
+    print(f"D fb={FB} rel err vs A: {err:.2e}")
+    timeit(f"D fb={FB} blocked conv fwd", conv_b, xb, wb)
+    gf = mk_loss(conv_b)
+    timeit(f"D fb={FB} blocked conv fwd+bwd", lambda x, w_, s, gf=gf: gsum(gf(x, w_, s)), xb, wb)
+    gf14 = mk_loss(functools.partial(chain14, conv_b))
+    timeit(f"D fb={FB} blocked x14 fwd+bwd", lambda x, w_, s, gf=gf14: gsum(gf(x, w_, s)), xb, wb)

@@ -94,22 +94,30 @@ class _LayerPlan:
     use_act: bool
 
 
-def _pack_weights(folded_inner):
+def _pack_weights(folded_inner, formulation: str = "im2col"):
     """Pack BN-folded inner-layer weights for the kernel.
 
-    Returns (plans, packed) where packed[i] = (wcol [cout_pad, kw*cin_pad],
-    bias [cout_pad, 1]) as float32 numpy-backed jnp arrays.  Row order of
-    the im2col slab is (tap j, padded channel ci), matching the kernel's
-    concat of rolled copies.
+    formulation="im2col": packed[i] = (wcol [cout_pad, kw*cin_pad], bias
+    [cout_pad, 1]); row order of the im2col slab is (tap j, padded channel
+    ci), matching the kernel's concat of rolled copies.
+
+    formulation="accum": packed[i] = (wrow [kw*cout_pad, cin_pad], bias);
+    tap j's [cout_pad, cin_pad] block sits at sublane offset j*cout_pad
+    (a multiple of 8, so the in-kernel slice is sublane-aligned).
     """
     plans, packed = [], []
     for spec, w, b in folded_inner:
         kh, kw, cin, cout = w.shape
         assert kh == 1, f"inner layer {spec.name} must be freq-only"
         cin_p, cout_p = _pad8(cin), _pad8(cout)
-        wcol = jnp.zeros((cout_p, kw * cin_p), jnp.float32)
-        for j in range(kw):
-            wcol = wcol.at[:cout, j * cin_p : j * cin_p + cin].set(w[0, j].T)
+        if formulation == "im2col":
+            wpk = jnp.zeros((cout_p, kw * cin_p), jnp.float32)
+            for j in range(kw):
+                wpk = wpk.at[:cout, j * cin_p : j * cin_p + cin].set(w[0, j].T)
+        else:
+            wpk = jnp.zeros((kw * cout_p, cin_p), jnp.float32)
+            for j in range(kw):
+                wpk = wpk.at[j * cout_p : j * cout_p + cout, :cin].set(w[0, j].T)
         bias = jnp.zeros((cout_p, 1), jnp.float32).at[:cout, 0].set(b)
         plans.append(
             _LayerPlan(
@@ -117,17 +125,27 @@ def _pack_weights(folded_inner):
                 spec.use_act,
             )
         )
-        packed.append((wcol, bias))
+        packed.append((wpk, bias))
     return tuple(plans), packed
 
 
-def _stack_kernel(plans: Tuple[_LayerPlan, ...], n_lanes: int, mxu_dtype):
+def _stack_kernel(
+    plans: Tuple[_LayerPlan, ...],
+    n_lanes: int,
+    mxu_dtype,
+    formulation: str = "im2col",
+):
     """Build the fused kernel body for a static layer plan.
 
     Slabs are stored float32 regardless of `mxu_dtype` -- Mosaic's lane
     rotate only supports 32-bit data -- but the matmul operands are cast
     to `mxu_dtype` (bfloat16 halves MXU passes; accumulation stays f32
     via preferred_element_type).
+
+    formulation="im2col": per layer, concat the kw rolled slabs into one
+    [kw*cin_pad, N] im2col slab and do ONE deep matmul.
+    formulation="accum": per tap, slice the weight block (sublane-aligned)
+    and accumulate kw shallow matmuls -- no concat copy of the k slabs.
     """
 
     def kernel(x_ref, *refs):
@@ -138,17 +156,29 @@ def _stack_kernel(plans: Tuple[_LayerPlan, ...], n_lanes: int, mxu_dtype):
         x = x_ref[0].astype(jnp.float32)
         taps = {"__input__": x}
         for i, lp in enumerate(plans):
-            wcol = wrefs[2 * i][...]  # already mxu_dtype
+            wpk = wrefs[2 * i][...]  # already mxu_dtype
             bias = wrefs[2 * i + 1][...].astype(jnp.float32)
             lo = (lp.kw - 1) // 2
-            cols = [
-                pltpu.roll(x, (lo - j) % n_lanes, axis=1) for j in range(lp.kw)
-            ]
-            xcol = cols[0] if lp.kw == 1 else jnp.concatenate(cols, axis=0)
-            y = jax.lax.dot_general(
-                wcol, xcol.astype(mxu_dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            if formulation == "im2col":
+                cols = [
+                    pltpu.roll(x, (lo - j) % n_lanes, axis=1)
+                    for j in range(lp.kw)
+                ]
+                xcol = cols[0] if lp.kw == 1 else jnp.concatenate(cols, axis=0)
+                y = jax.lax.dot_general(
+                    wpk, xcol.astype(mxu_dtype), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                y = jnp.zeros((lp.cout_pad, n_lanes), jnp.float32)
+                for j in range(lp.kw):
+                    xs = pltpu.roll(x, (lo - j) % n_lanes, axis=1)
+                    y = y + jax.lax.dot_general(
+                        wpk[j * lp.cout_pad : (j + 1) * lp.cout_pad],
+                        xs.astype(mxu_dtype),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
             # bias + pad-band re-zeroing (rolled-in junk must not leak into
             # the next layer's shifted reads)
             y = (y + bias) * mask
@@ -181,19 +211,21 @@ def _from_flat(z: jnp.ndarray, T: int, c_true: int) -> jnp.ndarray:
 
 
 def fused_inference_forward(
-    model, params, bn_state, mag, t_tile: int = 32, dtype: str = "float32"
+    model, params, bn_state, mag, t_tile: int = 32, dtype: str = "float32",
+    formulation: str = "im2col",
 ):
     """See `_fused_inference_forward`; resolves interpret mode (CPU tests)
     at call time."""
     interpret = jax.default_backend() == "cpu"
     return _fused_inference_forward(
         model, params, bn_state, mag, t_tile=t_tile, dtype=dtype,
-        interpret=interpret,
+        formulation=formulation, interpret=interpret,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "t_tile", "dtype", "interpret")
+    jax.jit,
+    static_argnames=("model", "t_tile", "dtype", "formulation", "interpret"),
 )
 def _fused_inference_forward(
     model: ModelDef,
@@ -202,6 +234,7 @@ def _fused_inference_forward(
     mag: jnp.ndarray,
     t_tile: int = 32,
     dtype: str = "float32",
+    formulation: str = "im2col",
     interpret: bool = False,
 ) -> jnp.ndarray:
     """[B, T, F] magnitude -> [B, T, F] enhanced magnitude, inference mode.
@@ -237,7 +270,7 @@ def _fused_inference_forward(
     last_spec, w_last, b_last = folded[-1]
     inner = folded[1:-1]
 
-    plans, packed = _pack_weights(inner)
+    plans, packed = _pack_weights(inner, formulation)
     # Taps referencing layer 1 read the kernel's input slab.
     first_name = first_spec.name
     plans = tuple(
@@ -260,7 +293,7 @@ def _fused_inference_forward(
     xf = _to_flat(y1, c_in_pad)
 
     n_lanes = t_tile * F_PAD
-    kernel = _stack_kernel(plans, n_lanes, mxu_dt)
+    kernel = _stack_kernel(plans, n_lanes, mxu_dt, formulation)
 
     weight_args, in_specs = [], [
         pl.BlockSpec(

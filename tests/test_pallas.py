@@ -110,3 +110,22 @@ def test_fused_bfloat16_mode_close():
     ref = np.asarray(ref[..., 0])
     scale = np.abs(ref).max()
     assert np.abs(np.asarray(got) - ref).max() < 0.05 * scale
+
+
+def test_fused_accum_formulation_matches_xla():
+    """The accumulate (no-concat) formulation is numerically identical to
+    the im2col one; both must match model.apply (interpret mode on CPU)."""
+    for name in ("FullyCNN", "FullyCNNV2", "FullyCNNV3"):
+        model = get_model(name)
+        params, bn = model.init(jax.random.PRNGKey(9))
+        bn = _randomized_bn(bn, seed=10)
+        mag = jnp.asarray(
+            np.random.default_rng(11).random((1, 50, 129)), jnp.float32
+        )
+        ref, _ = model.apply(params, bn, mag[..., None], is_training=False)
+        got = fused_inference_forward(
+            model, params, bn, mag, formulation="accum"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref[..., 0]), rtol=1e-4, atol=1e-5
+        )
