@@ -15,9 +15,20 @@ import sys, time, functools
 sys.path.insert(0, ".")
 import numpy as np, jax, jax.numpy as jnp
 
+from fullycnnspeechenhancement_tpu.cli import enable_compilation_cache
+
+enable_compilation_cache()
+
 B, T, F, C, K = 64, 500, 129, 25, 5
 DT = jnp.bfloat16
 ITERS = 30
+# groups: abc1 (one-layer fwd), abc2 (one-layer fwd+bwd), abc3 (14-chain),
+# d4 / d8 (freq-to-depth) -- split so each invocation fits a 10-min budget
+GROUP = sys.argv[1] if len(sys.argv) > 1 else "all"
+
+
+def in_group(g):
+    return GROUP in ("all", g)
 
 
 def timeit(label, fn, *args):
@@ -26,10 +37,11 @@ def timeit(label, fn, *args):
         def body(c, _):
             y = fn(*c[:-1], c[-1])
             # feed a scalar of y back so iterations serialize
-            return (*c[:-1], c[-1] * 0 + y.astype(jnp.float32).mean() * 1e-9 + 1.0), None
+            s = c[-1] * 0 + (y.astype(jnp.float32).mean() * 1e-9 + 1.0).astype(DT)
+            return (*c[:-1], s), None
 
-        c, _ = jax.lax.scan(body, (*a, jnp.float32(1.0)), None, length=ITERS)
-        return c[-1]
+        c, _ = jax.lax.scan(body, (*a, jnp.asarray(1.0, DT)), None, length=ITERS)
+        return c[-1].astype(jnp.float32)
 
     r = chain(*args)
     float(r)
@@ -95,12 +107,11 @@ def conv_flat(xf, w, scale):
 x_flat = to_flat(x_nhwc)
 
 scale = jnp.asarray(1.0, DT)
-print("== one layer forward ==")
-timeit("A nhwc lax.conv", conv_nhwc, x_nhwc, w)
-timeit("B nhwc shift+einsum", conv_shift_nhwc, x_nhwc, w)
-timeit("C flat [B,C,N] shift+einsum", conv_flat, x_flat, w)
-
-print("== one layer fwd+bwd (grad wrt x and w) ==")
+if in_group("abc1"):
+    print("== one layer forward ==", flush=True)
+    timeit("A nhwc lax.conv", conv_nhwc, x_nhwc, w)
+    timeit("B nhwc shift+einsum", conv_shift_nhwc, x_nhwc, w)
+    timeit("C flat [B,C,N] shift+einsum", conv_flat, x_flat, w)
 
 
 def mk_loss(f):
@@ -118,15 +129,15 @@ def gsum(g):
     )
 
 
-for label, f, xx in (
-    ("A nhwc lax.conv", conv_nhwc, x_nhwc),
-    ("B nhwc shift+einsum", conv_shift_nhwc, x_nhwc),
-    ("C flat shift+einsum", conv_flat, x_flat),
-):
-    gf = mk_loss(f)
-    timeit(label, lambda x, w, s, gf=gf: gsum(gf(x, w, s)), xx, w)
-
-print("== 14-layer chain fwd+bwd ==")
+if in_group("abc2"):
+    print("== one layer fwd+bwd (grad wrt x and w) ==", flush=True)
+    for label, f, xx in (
+        ("A nhwc lax.conv", conv_nhwc, x_nhwc),
+        ("B nhwc shift+einsum", conv_shift_nhwc, x_nhwc),
+        ("C flat shift+einsum", conv_flat, x_flat),
+    ):
+        gf = mk_loss(f)
+        timeit(label, lambda x, w, s, gf=gf: gsum(gf(x, w, s)), xx, w)
 
 
 def chain14(conv, x, w, scale):
@@ -136,14 +147,14 @@ def chain14(conv, x, w, scale):
     return y
 
 
-for label, f, xx in (
-    ("A nhwc lax.conv x14", conv_nhwc, x_nhwc),
-    ("C flat shift+einsum x14", conv_flat, x_flat),
-):
-    gf = mk_loss(functools.partial(chain14, f))
-    timeit(label, lambda x, w, s, gf=gf: gsum(gf(x, w, s)), xx, w)
-
-print("== strategy D: freq-to-depth (block freq into channels) ==")
+if in_group("abc3"):
+    print("== 14-layer chain fwd+bwd ==", flush=True)
+    for label, f, xx in (
+        ("A nhwc lax.conv x14", conv_nhwc, x_nhwc),
+        ("C flat shift+einsum x14", conv_flat, x_flat),
+    ):
+        gf = mk_loss(functools.partial(chain14, f))
+        timeit(label, lambda x, w, s, gf=gf: gsum(gf(x, w, s)), xx, w)
 # x [B,T,129,C] -> pad F to FB*NB -> [B,T,NB, FB*C]; the (1,k) freq conv
 # becomes a (1,KB) conv over NB blocks with FB*C channels: dense MXU
 # shapes (~128-256 channels) at (KB*FB/k)x the FLOPs -- memory-bound
@@ -187,6 +198,9 @@ def make_blocked(FB, KB):
 
 
 for FB, KB in ((4, 3), (8, 3)):
+    if not in_group(f"d{FB}"):
+        continue
+    print(f"== strategy D fb={FB}: freq-to-depth ==", flush=True)
     to_b, conv_b, wb = make_blocked(FB, KB)
     xb = to_b(x_nhwc)
     # numeric check vs strategy A (one layer)

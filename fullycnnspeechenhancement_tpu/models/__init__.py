@@ -4,6 +4,9 @@ from fullycnnspeechenhancement_tpu.models.blocks import (  # noqa: F401
     conv_bn_relu_apply,
     conv_bn_relu_init,
 )
+from fullycnnspeechenhancement_tpu.models.blocked import (  # noqa: F401
+    apply_blocked,
+)
 from fullycnnspeechenhancement_tpu.models.rced import (  # noqa: F401
     ModelDef,
     V1,
