@@ -52,7 +52,11 @@ def bench_tpu(batch=64, seconds_per_utt=8.0, iters=50, repeats=3):
     # numerics-parity mode, ~3.6x slower, same loss trajectory -- see
     # models/rced.py).
     config = Config(
-        model=ModelConfig(net_work="FullyCNNV2", compute_dtype="bfloat16"),
+        model=ModelConfig(
+            net_work="FullyCNNV2",
+            compute_dtype="bfloat16",
+            blocked_compute=True,  # freq-to-depth fast path (models/blocked.py)
+        ),
         train=TrainConfig(batch_size=batch, lr=1.5e-3),
     )
     model = get_model("FullyCNNV2")

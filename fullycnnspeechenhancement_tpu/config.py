@@ -92,6 +92,18 @@ class ModelConfig:
     # (~2e-3 relative vs the HIGHEST-precision XLA path), so parity tests
     # keep this off; throughput serving turns it on.
     fused_inference: bool = False
+    # Run the conv stack through the freq-to-depth "blocked" forward
+    # (models/blocked.py): an exact reparametrization that folds 4
+    # frequency bins into channels, turning the (1,k) freq convs into
+    # dense MXU shapes -- measured ~2x faster fwd+bwd on v5e.  Same math,
+    # same params/checkpoints; only f32 reduction order differs (verified
+    # exact in f64, tests/test_blocked.py).  Default off so the parity
+    # defaults stay bitwise-comparable; the TPU fast path (bench, work
+    # cfgs) turns it on alongside bfloat16.
+    blocked_compute: bool = False
+    # Frequency bins folded per block (see models/blocked.py FB_DEFAULT's
+    # measured sweep; 8 is the v5e sweet spot).
+    blocked_fb: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,6 +217,10 @@ def load_ini_config(path: str) -> Config:
         fused_inference=str(
             _get(cp, "model", "fused_inference", "False")
         ).lower() in ("1", "true", "yes"),
+        blocked_compute=str(
+            _get(cp, "model", "blocked_compute", "False")
+        ).lower() in ("1", "true", "yes"),
+        blocked_fb=int(_get(cp, "model", "blocked_fb", 8)),
     )
 
     train_kwargs = {}

@@ -54,7 +54,11 @@ from fullycnnspeechenhancement_tpu.models.blocks import (
 )
 from fullycnnspeechenhancement_tpu.models.rced import ModelDef
 
-FB_DEFAULT = 4
+# Measured on v5e (benchmarks/micro_blocked_fb.py, V2 train step bf16,
+# B=64 T=500): fb=4 -> 85.8 ms, fb=8 -> 79.8 ms, fb=16 -> 91.3 ms vs
+# NHWC 120.6 ms.  fb=8 gives ~200 channels (full MXU lanes) before the
+# tap-FLOP growth outweighs the density win.
+FB_DEFAULT = 8
 
 
 @functools.lru_cache(maxsize=64)
@@ -180,9 +184,10 @@ def apply_blocked(
             s = state.get(spec.name, {})
             if is_training:
                 # Masked biased moments over (B, T, real F) per canonical
-                # channel, f32 regardless of compute dtype.
-                y32 = y.astype(jnp.float32).reshape(B, T, nb, fb, cout)
-                m32 = mask4.astype(jnp.float32)[..., None]
+                # channel, in at least f32 regardless of compute dtype.
+                mdt = jnp.promote_types(jnp.float32, y.dtype)
+                y32 = y.astype(mdt).reshape(B, T, nb, fb, cout)
+                m32 = mask4.astype(mdt)[..., None]
                 ys = jnp.sum(y32 * m32, axis=(0, 1, 2, 3))
                 yss = jnp.sum(jnp.square(y32) * m32, axis=(0, 1, 2, 3))
                 mean = ys / n_real

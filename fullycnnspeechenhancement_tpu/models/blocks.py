@@ -93,9 +93,9 @@ def conv_bn_relu_apply(
     new_state = state
     if use_norm:
         if is_training:
-            # Biased batch moments over N,H,W in float32 regardless of
-            # compute dtype (bf16 moments would drift the moving stats).
-            y32 = y.astype(jnp.float32)
+            # Biased batch moments over N,H,W in at least float32 (bf16
+            # moments would drift the moving stats; f64 inputs keep f64).
+            y32 = y.astype(jnp.promote_types(jnp.float32, y.dtype))
             mean = jnp.mean(y32, axis=(0, 1, 2))
             var = jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mean)
             new_state = {

@@ -81,6 +81,16 @@ def spectral_l2_loss(
     return jnp.sum(sq * m) / (batch_size * denom)
 
 
+def _model_forward(config: Config, model: ModelDef):
+    """Forward fn honouring `model.blocked_compute` (freq-to-depth fast
+    path, models/blocked.py -- exact reparametrization of `apply`)."""
+    if config.model.blocked_compute:
+        from fullycnnspeechenhancement_tpu.models.blocked import apply_blocked
+
+        return functools.partial(apply_blocked, model, fb=config.model.blocked_fb)
+    return model.apply
+
+
 def make_train_step(config: Config, model: ModelDef):
     """Returns a jittable (state, batch) -> (state, metrics) train step."""
     ext = SpectrogramExtractor(config.dsp)
@@ -88,12 +98,13 @@ def make_train_step(config: Config, model: ModelDef):
     batch_size = config.train.batch_size
     mask_loss = config.train.mask_loss
     compute_dtype = jnp.dtype(config.model.compute_dtype)
+    forward = _model_forward(config, model)
 
     def loss_fn(params, bn_state, batch: Batch):
         mix_mag = ext(batch.mix_wav, batch.lengths)  # [B, T, F]
         clean_mag = ext(batch.clean_wav, batch.lengths)
         x = mix_mag[..., None].astype(compute_dtype)
-        pred, new_bn = model.apply(params, bn_state, x, is_training=True)
+        pred, new_bn = forward(params, bn_state, x, is_training=True)
         pred = pred.astype(jnp.float32)
         mask = (
             ext.frame_mask(batch.lengths, mix_mag.shape[1]) if mask_loss else None
@@ -125,6 +136,7 @@ def make_eval_step(config: Config, model: ModelDef, is_training: bool = False):
     ext = SpectrogramExtractor(config.dsp)
     compute_dtype = jnp.dtype(config.model.compute_dtype)
     use_fused = config.model.fused_inference and not is_training
+    forward = _model_forward(config, model)
 
     def eval_step(params, bn_state, mix_wav, lengths):
         mag, phase_re, phase_im = ext.magnitude_and_phase(mix_wav, lengths)
@@ -136,7 +148,7 @@ def make_eval_step(config: Config, model: ModelDef, is_training: bool = False):
             pred = fused_inference_forward(model, params, bn_state, mag)
             return pred.astype(jnp.float32), phase_re, phase_im
         x = mag[..., None].astype(compute_dtype)
-        pred, _ = model.apply(params, bn_state, x, is_training=is_training)
+        pred, _ = forward(params, bn_state, x, is_training=is_training)
         return pred[..., 0].astype(jnp.float32), phase_re, phase_im
 
     return eval_step
