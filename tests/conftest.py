@@ -12,10 +12,24 @@ import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests may spawn
 
+# Persistent compilation cache: the suite is compile-time dominated (16-layer
+# grad compiles take tens of seconds on CPU), and test shapes are fixed, so
+# repeat runs hit the cache and the suite drops from ~10 min to ~2 min.
+# The env var makes subprocess tests (e.g. the x64 gradient test) inherit it.
+_JAX_CACHE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _JAX_CACHE)
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update(
+    "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
