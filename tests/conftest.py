@@ -20,6 +20,11 @@ _JAX_CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
 )
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _JAX_CACHE)
+# Subprocess tests inherit the cache *dir* from the env var but would fall
+# back to JAX's default thresholds (min compile time 1s), leaving sub-1s
+# subprocess compiles uncached -- export the policy knobs too.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax
 
