@@ -130,6 +130,11 @@ class TrainConfig:
     # chip; the mesh is ('data', 'model') with 'model' unused for this
     # 32k-param family).
     data_parallel: int = 1
+    # Optimizer steps chained on device per host dispatch (lax.scan).  >1
+    # amortizes host dispatch / tunnel latency over K steps: the loader's
+    # batches are grouped per bucket and stacked to [K, B, L].  1 keeps the
+    # one-dispatch-per-batch loop.
+    steps_per_call: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -240,6 +245,7 @@ def load_ini_config(path: str) -> Config:
             seed=int(g("seed", 0)),
             mask_loss=str(g("mask_loss", "False")).lower() in ("1", "true", "yes"),
             data_parallel=int(g("data_parallel", 1)),
+            steps_per_call=int(g("steps_per_call", 1)),
             valid_every_epochs=int(g("valid_every_epochs", 5)),
         )
     train = TrainConfig(**train_kwargs)

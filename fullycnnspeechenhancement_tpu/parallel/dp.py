@@ -24,7 +24,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from fullycnnspeechenhancement_tpu.config import Config
 from fullycnnspeechenhancement_tpu.models.rced import ModelDef
 from fullycnnspeechenhancement_tpu.parallel.mesh import DATA_AXIS
-from fullycnnspeechenhancement_tpu.train.step import Batch, make_train_step
+from fullycnnspeechenhancement_tpu.train.step import (
+    Batch,
+    make_multi_step,
+    make_train_step,
+)
 
 
 def replicate(mesh) -> NamedSharding:
@@ -35,9 +39,21 @@ def batch_sharding(mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def stacked_batch_sharding(mesh) -> NamedSharding:
+    """Sharding for [K, B, ...] multi-step batches: scan axis replicated,
+    batch axis sharded over 'data'."""
+    return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
 def shard_batch(mesh, batch: Batch) -> Batch:
     """Place a host batch onto the mesh, sharded along the batch axis."""
     sh = batch_sharding(mesh)
+    return Batch(*(jax.device_put(x, sh) for x in batch))
+
+
+def shard_stacked_batch(mesh, batch: Batch) -> Batch:
+    """Place a stacked [K, B, ...] multi-step batch onto the mesh."""
+    sh = stacked_batch_sharding(mesh)
     return Batch(*(jax.device_put(x, sh) for x in batch))
 
 
@@ -58,6 +74,29 @@ def make_parallel_train_step(config: Config, model: ModelDef, mesh):
     bsh = batch_sharding(mesh)
     return jax.jit(
         step,
+        in_shardings=(repl, Batch(bsh, bsh, bsh)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_parallel_multi_step(config: Config, model: ModelDef, mesh):
+    """jit-compiled DP multi-step: scans K train steps in one device call.
+
+    Input batches have [K, B, ...] leaves (K replicated scan axis, B sharded
+    over 'data'); returns (state, packed metrics [K, 2]).
+    """
+    n_data = mesh.shape[DATA_AXIS]
+    if config.train.batch_size % n_data:
+        raise ValueError(
+            f"global batch {config.train.batch_size} not divisible by "
+            f"data-parallel degree {n_data}"
+        )
+    multi = make_multi_step(make_train_step(config, model))
+    repl = replicate(mesh)
+    bsh = stacked_batch_sharding(mesh)
+    return jax.jit(
+        multi,
         in_shardings=(repl, Batch(bsh, bsh, bsh)),
         out_shardings=(repl, repl),
         donate_argnums=(0,),

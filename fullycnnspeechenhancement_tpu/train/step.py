@@ -125,6 +125,37 @@ def make_train_step(config: Config, model: ModelDef):
     return train_step
 
 
+def pack_step_metrics(metrics) -> jnp.ndarray:
+    """Stack the per-step scalar metrics into one [2] array (loss, lr).
+
+    The production loop keeps metrics on device and fetches many steps'
+    worth in a single device->host transfer (a fetch is the only true
+    barrier on a tunneled TPU and costs a full round trip -- see
+    benchmarks/PERF_NOTES.md); packing makes that one contiguous array.
+    """
+    return jnp.stack([metrics["loss"], metrics["lr"]])
+
+
+def make_multi_step(step_fn):
+    """Chain `step_fn` over a leading steps axis with `lax.scan`.
+
+    (state, Batch with [K, B, ...] leaves) -> (state, packed metrics [K, 2]).
+    One host dispatch runs K optimizer steps on device -- the TPU-native
+    replacement for the reference's per-batch `sess.run` loop
+    (/root/reference/model_utils/trainer.py:181-192), amortizing dispatch
+    and tunnel latency across K steps.
+    """
+
+    def multi_step(state: TrainState, batches: Batch):
+        def body(s, b):
+            s, m = step_fn(s, b)
+            return s, pack_step_metrics(m)
+
+        return jax.lax.scan(body, state, batches)
+
+    return multi_step
+
+
 def make_eval_step(config: Config, model: ModelDef, is_training: bool = False):
     """(params, bn_state, mix_wav, lengths) -> (pred_mag, phase_re, phase_im).
 

@@ -139,6 +139,31 @@ def test_trainer_runs_validates_and_resumes(tmp_path, corpus):
     trainer2.ckpt.close()
 
 
+def test_trainer_steps_per_call(tmp_path, corpus):
+    """steps_per_call=2 runs every batch exactly once per epoch (stacked
+    scan calls plus single-step residuals) with one metrics fetch."""
+    from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
+    from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+    from fullycnnspeechenhancement_tpu.train.trainer import Trainer
+
+    cfg = _config(tmp_path, epochs=1, steps_per_call=2)
+    ds = SpeechDataset(corpus["clean"], corpus["noise"], 8000, seed=0)
+    loader = DataLoader(
+        ds, cfg.dsp, 2, bucket_frames=(64, 128, 256), num_workers=2, seed=0
+    )
+    trainer = Trainer(cfg)
+    trainer.train(loader)
+    assert int(trainer.state.step) == len(loader)
+    scalars = [
+        json.loads(l)
+        for l in open(glob.glob(str(tmp_path / "logs" / "scalars_*.jsonl"))[0])
+    ]
+    steps = sorted(s["step"] for s in scalars if "loss" in s)
+    assert steps == list(range(len(loader)))
+    assert all(np.isfinite(s["loss"]) for s in scalars if "loss" in s)
+    trainer.ckpt.close()
+
+
 def test_inference_engine_npz(tmp_path, corpus):
     from fullycnnspeechenhancement_tpu.infer import InferenceEngine
 

@@ -132,6 +132,67 @@ def test_dp_step_matches_single_device(tiny_config):
     )
 
 
+def test_multi_step_matches_sequential(tiny_config):
+    """K steps scanned in one device call == K individual jitted steps:
+    same losses, same final params (the trainer's steps_per_call fast
+    path, train/step.py make_multi_step)."""
+    from fullycnnspeechenhancement_tpu.train.step import make_multi_step
+
+    model = get_model("FullyCNN")
+    state_a = create_train_state(tiny_config, model, jax.random.PRNGKey(7))
+    state_b = create_train_state(tiny_config, model, jax.random.PRNGKey(7))
+    step = jax.jit(make_train_step(tiny_config, model))
+    multi = jax.jit(make_multi_step(make_train_step(tiny_config, model)))
+    rng = np.random.default_rng(3)
+    batches = [_synthetic_batch(rng) for _ in range(3)]
+    losses = []
+    for b in batches:
+        state_a, m = step(state_a, b)
+        losses.append(float(m["loss"]))
+    stacked = Batch(
+        *(jnp.stack([getattr(b, f) for b in batches]) for f in Batch._fields)
+    )
+    state_b, packed = multi(state_b, stacked)
+    np.testing.assert_allclose(np.asarray(packed)[:, 0], losses, rtol=1e-5)
+    assert int(state_b.step) == 3
+    # Param check bounded by the update scale: Adam normalizes by sqrt(v),
+    # so f32 reduction-order differences between the scanned and individual
+    # compilations can flip near-zero gradient elements' update *sign* --
+    # compare against the total step magnitude (~lr_noam * 3 steps), like
+    # test_blocked_train_step_matches_nhwc does.
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state_a.params),
+        jax.tree_util.tree_leaves(state_b.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0.05, atol=2e-4
+        )
+
+
+def test_parallel_multi_step_runs_on_mesh():
+    """DP multi-step: 2 scanned steps over the 8-device mesh advance the
+    replicated state and return per-step packed metrics."""
+    from fullycnnspeechenhancement_tpu.parallel import (
+        make_parallel_multi_step,
+        shard_stacked_batch,
+    )
+
+    cfg = Config(train=TrainConfig(batch_size=8, lr=1e-3, warmup_steps=100))
+    model = get_model("FullyCNN")
+    mesh = make_mesh(n_data=8)
+    state = create_train_state(cfg, model, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(4)
+    batches = [_synthetic_batch(rng, batch_size=8) for _ in range(2)]
+    stacked = Batch(
+        *(jnp.stack([getattr(b, f) for b in batches]) for f in Batch._fields)
+    )
+    multi = make_parallel_multi_step(cfg, model, mesh)
+    state, packed = multi(state, shard_stacked_batch(mesh, stacked))
+    vals = np.asarray(packed)
+    assert vals.shape == (2, 2) and np.all(np.isfinite(vals))
+    assert int(state.step) == 2
+
+
 def test_dp_rejects_indivisible_batch():
     cfg = Config(train=TrainConfig(batch_size=3))
     mesh = make_mesh(n_data=2)
