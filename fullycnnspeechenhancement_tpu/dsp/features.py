@@ -141,15 +141,37 @@ class SpectrogramExtractor:
         safe = jnp.where(mag > 0, mag, 1.0)
         return mag, re / safe, im / safe
 
-    def frame_mask(self, lengths: jnp.ndarray, total_frames: int) -> jnp.ndarray:
-        """[B, T] 1.0 where the frame index is < the utterance's own frame
-        count (ceil(|L-flen|/step+1)), else 0.0 -- for masked losses."""
+    def frame_counts(self, lengths: jnp.ndarray) -> jnp.ndarray:
+        """[B] int32 per-utterance frame counts, the reference's formula
+        ceil(|L - flen| / step + 1) (audio_feature.py:70)."""
         cfg = self.cfg
         # |L - flen| matters only for L < flen (sub-frame utterances); the
         # duration filter (>=0.4s) makes that impossible in practice, but
         # keep the abs for contract fidelity.
-        counts = jnp.ceil(
+        return jnp.ceil(
             jnp.abs(lengths - cfg.frame_length) / cfg.frame_step + 1
         ).astype(jnp.int32)
+
+    def frame_mask(self, lengths: jnp.ndarray, total_frames: int) -> jnp.ndarray:
+        """[B, T] 1.0 where the frame index is < the utterance's own frame
+        count, else 0.0 -- for masked losses."""
+        counts = self.frame_counts(lengths)
         t = jnp.arange(total_frames)[None, :]
         return (t < counts[:, None]).astype(jnp.float32)
+
+    def batch_max_frame_mask(
+        self, lengths: jnp.ndarray, total_frames: int
+    ) -> jnp.ndarray:
+        """[B, T] 1.0 where the frame index is < the BATCH-MAX frame count.
+
+        This is the region the reference's padded collate materializes
+        (data_loader.py:198-225 pads every spectrogram to the longest in
+        the batch): frames below the batch max -- including shorter
+        utterances' zero-pad frames -- exist and enter the loss and BN
+        statistics; frames at/after it (static bucket slack) do not exist
+        in the reference at all.
+        """
+        bm = jnp.max(self.frame_counts(lengths))
+        t = jnp.arange(total_frames)[None, :]
+        mask = (t < bm).astype(jnp.float32)
+        return jnp.broadcast_to(mask, (lengths.shape[0], total_frames))

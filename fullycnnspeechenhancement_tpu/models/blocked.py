@@ -121,11 +121,16 @@ def apply_blocked(
     is_training: bool,
     fb: int = FB_DEFAULT,
     precision=None,
+    frame_mask=None,
 ):
     """Drop-in equivalent of `ModelDef.apply` on NHWC [B, T, F, 1].
 
     Returns (y [B, T, F, 1], new_state).  Numerics match `apply` up to
     floating-point reduction order (dense matmuls vs per-tap convs).
+
+    `frame_mask` ([B, T]) restricts BN batch statistics to masked frames
+    (see blocks.conv_bn_relu_apply); the freq pad-band mask composes with
+    it.
     """
     if precision is None:
         precision = (
@@ -188,10 +193,15 @@ def apply_blocked(
                 mdt = jnp.promote_types(jnp.float32, y.dtype)
                 y32 = y.astype(mdt).reshape(B, T, nb, fb, cout)
                 m32 = mask4.astype(mdt)[..., None]
+                if frame_mask is not None:
+                    m32 = m32 * frame_mask.astype(mdt)[:, :, None, None, None]
+                    n = jnp.sum(frame_mask.astype(mdt)) * F
+                else:
+                    n = n_real
                 ys = jnp.sum(y32 * m32, axis=(0, 1, 2, 3))
                 yss = jnp.sum(jnp.square(y32) * m32, axis=(0, 1, 2, 3))
-                mean = ys / n_real
-                var = yss / n_real - jnp.square(mean)
+                mean = ys / n
+                var = yss / n - jnp.square(mean)
                 new_state[spec.name] = {
                     "mean": BN_MOMENTUM * s["mean"] + (1.0 - BN_MOMENTUM) * mean,
                     "var": BN_MOMENTUM * s["var"] + (1.0 - BN_MOMENTUM) * var,

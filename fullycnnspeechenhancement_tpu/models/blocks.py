@@ -74,10 +74,20 @@ def conv_bn_relu_apply(
     use_act: bool = True,
     skip_input: Optional[jnp.ndarray] = None,
     precision=jax.lax.Precision.HIGHEST,
+    frame_mask: Optional[jnp.ndarray] = None,
 ):
     """Apply one block to NHWC `x` ([B, T, F, C]).  Returns (y, new_state).
 
     `new_state` is `state` unchanged in eval mode / when use_norm=False.
+
+    `frame_mask` ([B, T], 1.0 = frame participates): restricts the BN
+    *batch statistics* to masked frames.  The reference computes BN
+    moments over batch-max-padded blocks (trainer.py:158-163 dynamic
+    placeholders + padded collate); static bucket padding adds slack
+    frames the reference never sees, so the train step masks them out of
+    the moments (activations at masked frames still flow forward; they
+    are excluded from the loss separately).  None = all frames (faithful
+    when the batch is padded exactly to its max length).
     """
     w = params["w"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
@@ -96,8 +106,16 @@ def conv_bn_relu_apply(
             # Biased batch moments over N,H,W in at least float32 (bf16
             # moments would drift the moving stats; f64 inputs keep f64).
             y32 = y.astype(jnp.promote_types(jnp.float32, y.dtype))
-            mean = jnp.mean(y32, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mean)
+            if frame_mask is not None:
+                m = frame_mask.astype(y32.dtype)[:, :, None, None]
+                n = jnp.sum(m) * y.shape[2]
+                mean = jnp.sum(y32 * m, axis=(0, 1, 2)) / n
+                var = jnp.sum(jnp.square(y32) * m, axis=(0, 1, 2)) / n - jnp.square(
+                    mean
+                )
+            else:
+                mean = jnp.mean(y32, axis=(0, 1, 2))
+                var = jnp.mean(jnp.square(y32), axis=(0, 1, 2)) - jnp.square(mean)
             new_state = {
                 "mean": BN_MOMENTUM * state["mean"] + (1.0 - BN_MOMENTUM) * mean,
                 "var": BN_MOMENTUM * state["var"] + (1.0 - BN_MOMENTUM) * var,

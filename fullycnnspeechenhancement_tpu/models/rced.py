@@ -61,12 +61,24 @@ class ModelDef:
             ch = spec.out_ch
         return params, state
 
-    def apply(self, params, state, x, *, is_training: bool, precision=None):
+    def apply(
+        self,
+        params,
+        state,
+        x,
+        *,
+        is_training: bool,
+        precision=None,
+        frame_mask=None,
+    ):
         """NHWC [B, T, F, 1] -> [B, T, F, 1].  Returns (y, new_state).
 
         `precision=None` selects by dtype: HIGHEST for float32 (parity
         mode), DEFAULT for bfloat16 (the TPU fast path -- measured ~2.6x
         conv throughput on v5e vs f32 HIGHEST).
+
+        `frame_mask` ([B, T]) restricts BN batch statistics to masked
+        frames (see blocks.conv_bn_relu_apply).
         """
         if precision is None:
             precision = (
@@ -88,6 +100,7 @@ class ModelDef:
                 use_act=spec.use_act,
                 skip_input=skip,
                 precision=precision,
+                frame_mask=frame_mask,
             )
             if spec.add_from is not None:
                 y = y + taps[spec.add_from]

@@ -5,15 +5,24 @@ TPU-first redesign of the reference's Session/feed_dict loop
 takes raw waveform batches and does STFT analysis, model forward, loss,
 backward and the optimizer update on device -- the host only decodes and
 mixes audio.  Everything is static-shape; variable utterance lengths ride
-in as a `lengths` vector and zero-padded tails reproduce the reference's
-padded-collate semantics exactly.
+in as a `lengths` vector.
 
 Loss (reference contract, trainer.py:143-153 + SURVEY.md Appendix A.12-13):
-sum of squared error over the whole padded [B, T, F, 1] block, divided by
-the *configured* batch size.  Padded frames are zero in both prediction
-target and input magnitude (they contribute conv-bias-induced nonzero
-predictions, exactly as in the reference).  `mask_loss=True` switches to a
-masked, frame-count-normalised loss (documented corrected mode).
+sum of squared error over the padded [B, T, F, 1] block, divided by the
+*configured* batch size.  The reference pads each batch to its own max
+frame count (data_loader.py:198-225), so pad frames of shorter utterances
+*do* enter its loss (zero target/input, conv-bias-driven prediction) and
+its BN batch statistics.  Static bucket padding adds extra slack frames at
+T >= batch-max that the reference never materializes; the parity-default
+step reproduces the reference exactly by (a) restricting BN batch moments
+to frames < batch-max (`batch_max_frame_mask`) and (b) summing the loss
+over that same region, unnormalized beyond /batch_size.  Equivalence with
+a batch-max-padded run is asserted in
+tests/test_train.py::test_bucket_slack_matches_batchmax_padding.
+
+`mask_loss=True` switches to the fully masked, frame-count-normalised loss
+with per-utterance BN masking (documented corrected mode, a departure from
+the reference).
 """
 
 from __future__ import annotations
@@ -66,19 +75,25 @@ def spectral_l2_loss(
     target: jnp.ndarray,
     batch_size: int,
     mask: Optional[jnp.ndarray] = None,
+    normalize_mask: bool = False,
 ) -> jnp.ndarray:
     """sum((target - pred)^2) / configured_batch_size (trainer.py:146-147).
 
-    With `mask` ([B, T]): error restricted to real frames and normalised by
-    the real-frame fraction so the magnitude is comparable -- the corrected
-    mode, not the parity default.
+    `mask` ([B, T]) restricts the error to masked frames.  The parity
+    default passes the batch-max mask unnormalized (the reference sums
+    over its whole batch-max-padded block).  `normalize_mask=True`
+    additionally divides by the real-frame fraction so magnitudes stay
+    comparable across padding -- the corrected `mask_loss` mode.
     """
     sq = jnp.square(target - pred)
     if mask is None:
         return jnp.sum(sq) / batch_size
     m = mask[:, :, None, None]
+    total = jnp.sum(sq * m)
+    if not normalize_mask:
+        return total / batch_size
     denom = jnp.maximum(jnp.mean(m), 1e-8)
-    return jnp.sum(sq * m) / (batch_size * denom)
+    return total / (batch_size * denom)
 
 
 def _model_forward(config: Config, model: ModelDef):
@@ -104,12 +119,21 @@ def make_train_step(config: Config, model: ModelDef):
         mix_mag = ext(batch.mix_wav, batch.lengths)  # [B, T, F]
         clean_mag = ext(batch.clean_wav, batch.lengths)
         x = mix_mag[..., None].astype(compute_dtype)
-        pred, new_bn = forward(params, bn_state, x, is_training=True)
-        pred = pred.astype(jnp.float32)
-        mask = (
-            ext.frame_mask(batch.lengths, mix_mag.shape[1]) if mask_loss else None
+        T = mix_mag.shape[1]
+        if mask_loss:
+            # Corrected mode: per-utterance masking of loss and BN stats.
+            mask = ext.frame_mask(batch.lengths, T)
+        else:
+            # Parity mode: the exact region the reference's batch-max
+            # padded collate materializes (see module docstring).
+            mask = ext.batch_max_frame_mask(batch.lengths, T)
+        pred, new_bn = forward(
+            params, bn_state, x, is_training=True, frame_mask=mask
         )
-        loss = spectral_l2_loss(pred, clean_mag[..., None], batch_size, mask)
+        pred = pred.astype(jnp.float32)
+        loss = spectral_l2_loss(
+            pred, clean_mag[..., None], batch_size, mask, normalize_mask=mask_loss
+        )
         return loss, new_bn
 
     def train_step(state: TrainState, batch: Batch):
@@ -179,7 +203,17 @@ def make_eval_step(config: Config, model: ModelDef, is_training: bool = False):
             pred = fused_inference_forward(model, params, bn_state, mag)
             return pred.astype(jnp.float32), phase_re, phase_im
         x = mag[..., None].astype(compute_dtype)
-        pred, _ = forward(params, bn_state, x, is_training=is_training)
+        # In-training validation computes BN batch stats; restrict them to
+        # the batch-max region like the train step (bucket slack does not
+        # exist in the reference's dynamic-shape validation batches).
+        fmask = (
+            ext.batch_max_frame_mask(lengths, mag.shape[1])
+            if is_training
+            else None
+        )
+        pred, _ = forward(
+            params, bn_state, x, is_training=is_training, frame_mask=fmask
+        )
         return pred[..., 0].astype(jnp.float32), phase_re, phase_im
 
     return eval_step

@@ -132,6 +132,67 @@ def test_dp_step_matches_single_device(tiny_config):
     )
 
 
+def test_bucket_slack_matches_batchmax_padding(tiny_config):
+    """Parity contract: training on a bucket-padded batch must equal
+    training on the reference's batch-max-padded collate
+    (data_loader.py:198-225).  BN stats and the loss mask out bucket-slack
+    frames (>= batch-max), while shorter utterances' pad frames below
+    batch-max stay in, exactly as the reference materializes them."""
+    from fullycnnspeechenhancement_tpu.config import DSPConfig
+
+    dsp = DSPConfig()
+    model = get_model("FullyCNNV2")
+    rng = np.random.default_rng(5)
+    sr = 8000
+    lens = [4000, 7200]  # 0.5 s and 0.9 s -> different frame counts
+    bm_frames = max(dsp.num_frames(n) for n in lens)
+    batchmax_pad = dsp.padded_samples(bm_frames)
+    bucket_pad = dsp.padded_samples(128)  # bucket edge adds slack frames
+    assert bucket_pad > batchmax_pad
+
+    def make(pad_to):
+        mix = np.zeros((2, pad_to), np.float32)
+        clean = np.zeros((2, pad_to), np.float32)
+        for i, n in enumerate(lens):
+            t = np.arange(n) / sr
+            c = 0.4 * np.sin(2 * np.pi * (300 + 200 * i) * t)
+            clean[i, :n] = c
+            mix[i, :n] = c + 0.2 * rng.standard_normal(n)
+        return Batch(
+            jnp.asarray(mix),
+            jnp.asarray(clean),
+            jnp.asarray(np.asarray(lens, np.int32)),
+        )
+
+    rng = np.random.default_rng(5)
+    b_ref = make(batchmax_pad)
+    rng = np.random.default_rng(5)  # identical signals at both paddings
+    b_bucket = make(bucket_pad)
+
+    step = jax.jit(make_train_step(tiny_config, model))
+    s_ref = create_train_state(tiny_config, model, jax.random.PRNGKey(0))
+    s_bkt = create_train_state(tiny_config, model, jax.random.PRNGKey(0))
+    for _ in range(3):
+        s_ref, m_ref = step(s_ref, b_ref)
+        s_bkt, m_bkt = step(s_bkt, b_bucket)
+        np.testing.assert_allclose(
+            float(m_bkt["loss"]), float(m_ref["loss"]), rtol=1e-5
+        )
+    # BN moving stats are plain masked averages -- they must agree tightly
+    np.testing.assert_allclose(
+        np.asarray(s_bkt.bn_state["encode_1"]["mean"]),
+        np.asarray(s_ref.bn_state["encode_1"]["mean"]),
+        rtol=1e-4,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_bkt.bn_state["encode_8"]["var"]),
+        np.asarray(s_ref.bn_state["encode_8"]["var"]),
+        rtol=1e-4,
+        atol=1e-7,
+    )
+
+
 def test_multi_step_matches_sequential(tiny_config):
     """K steps scanned in one device call == K individual jitted steps:
     same losses, same final params (the trainer's steps_per_call fast
