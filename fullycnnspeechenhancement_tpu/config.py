@@ -151,6 +151,13 @@ class DataConfig:
     audio_save_path: str = "denoise"
     num_workers: int = 4
     prefetch_batches: int = 4
+    # Decode/resample/mix items through the C++ runtime
+    # (runtime/fcse_runtime.cc via ctypes) -- GIL-free, so loader worker
+    # threads scale.  Requires libfcse_runtime.so (make -C
+    # fullycnnspeechenhancement_tpu/runtime).  Mixing randomness uses the
+    # C++ mt19937_64 stream: same semantics, different draws than the
+    # Python path.
+    use_native: bool = False
     # Static-shape length bucketing (frames per bucket boundary).  XLA needs
     # static shapes; utterances are padded up to the bucket edge and the pad
     # is masked/ignored per `TrainConfig.mask_loss`.
@@ -263,6 +270,8 @@ def load_ini_config(path: str) -> Config:
         snr=float(_get(cp, "data", "snr", 0.0)),
         audio_save_path=_get(cp, "data", "audio_save_path", "denoise"),
         num_workers=int(_get(cp, "data", "num_workers", 4)),
+        use_native=str(_get(cp, "data", "use_native", "False")).lower()
+        in ("1", "true", "yes"),
         seed=int(_get(cp, "data", "seed", 0)),
     )
 

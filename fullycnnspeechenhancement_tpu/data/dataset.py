@@ -152,4 +152,5 @@ class SpeechDataset:
             seed=data.seed,
             host_index=host_index,
             host_count=host_count,
+            use_native=data.use_native,
         )

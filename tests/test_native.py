@@ -75,3 +75,27 @@ def test_dataset_native_path(tmp_path_factory):
     ds_pm = SpeechDataset(paths["premixed"], None, SR, use_native=True)
     mix, clean = ds_pm[1]
     assert mix.shape == clean.shape
+
+
+def test_use_native_wired_from_config(tmp_path_factory, tmp_path):
+    """[data] use_native flows INI -> DataConfig -> SpeechDataset, and the
+    premixed (randomness-free) items match the Python path exactly."""
+    from fullycnnspeechenhancement_tpu.config import load_ini_config
+
+    root = str(tmp_path_factory.mktemp("native_cfg_corpus"))
+    paths = make_corpus(root)
+    ini = tmp_path / "native.cfg"
+    ini.write_text(
+        "[training]\nepochs = 1\n\n[model]\nnet_work = FullyCNN\n\n"
+        f"[data]\ntrain_manifest_path = {paths['premixed']}\n"
+        "use_native = True\nsample_rate = 8000\n"
+    )
+    cfg = load_ini_config(str(ini))
+    assert cfg.data.use_native is True
+    ds = SpeechDataset.from_config(cfg.data, cfg.dsp, "train")
+    assert ds.use_native
+    mix_n, clean_n = ds[0]
+    ds_py = SpeechDataset(paths["premixed"], None, SR)
+    mix_p, clean_p = ds_py[0]
+    np.testing.assert_array_equal(mix_n, mix_p)
+    np.testing.assert_array_equal(clean_n, clean_p)
