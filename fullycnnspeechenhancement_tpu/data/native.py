@@ -88,6 +88,22 @@ def _load():
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.fcse_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.fcse_pesq_nb.restype = ctypes.c_double
+    lib.fcse_pesq_nb.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+    ]
+    lib.fcse_pesq_nb_ind.restype = ctypes.c_double
+    lib.fcse_pesq_nb_ind.argtypes = [
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return lib
 
@@ -150,6 +166,36 @@ def mix_at_snr(
     if rc:
         raise RuntimeError(f"fcse_mix_at_snr failed: rc={rc}")
     return out
+
+
+def pesq_nb(
+    reference: np.ndarray, degraded: np.ndarray, return_indicators: bool = False
+):
+    """P.862-structured narrowband PESQ (runtime/pesq862.cc).
+
+    Inputs: mono float signals at 8 kHz.  Returns the MOS-scale score in
+    [-0.5, 4.5]; with return_indicators=True, (score, D, DA) -- the raw
+    symmetric/asymmetric disturbance indicators.  NOT bit-compatible with
+    the ITU reference implementation (see pesq862.cc header), but a real
+    perceptual model of the same family, calibrated on anchor conditions.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native runtime not built")
+    a = np.ascontiguousarray(reference, np.float32)
+    b = np.ascontiguousarray(degraded, np.float32)
+    d = ctypes.c_double()
+    da = ctypes.c_double()
+    score = lib.fcse_pesq_nb_ind(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(a),
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(b),
+        ctypes.byref(d), ctypes.byref(da),
+    )
+    if score < -100.0:
+        raise ValueError(f"fcse_pesq_nb failed: rc={score}")
+    if return_indicators:
+        return float(score), float(d.value), float(da.value)
+    return float(score)
 
 
 def prepare_item(

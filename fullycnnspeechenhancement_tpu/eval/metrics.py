@@ -9,16 +9,21 @@ this image, so:
   * STOI -- full from-scratch implementation of the short-time objective
     intelligibility measure (Taal et al., ICASSP 2010/TASL 2011): 10 kHz
     resample, energy-based silent-frame removal, 512-point STFT of
-    256-sample Hann frames, 15 one-third-octave bands from 150 Hz,
-    384 ms segments, per-segment normalisation + (-15 dB) clipping,
-    averaged envelope correlation.  Validated against published anchor
-    behaviours in tests (identity -> 1.0, noise degrades monotonically);
-  * PESQ -- the ITU P.862 algorithm requires the ITU reference
-    implementation for valid scores.  `PESQ` uses the `pypesq` or `pesq`
-    package when importable (score parity with the reference); otherwise
-    it raises, or -- with allow_proxy=True -- returns a clearly-labelled
-    frequency-weighted segmental-SNR proxy mapped into the MOS range.
-    The proxy is NOT a PESQ score and is never reported as one.
+    256-sample frames, 15 one-third-octave bands from 150 Hz, 384 ms
+    segments, per-segment normalisation + (-15 dB) clipping, averaged
+    envelope correlation.  Implementation choices (window =
+    hann(N+2)[1:-1], OLA without renormalization, nearest-bin band
+    edges) follow the published pystoi package so scores are comparable
+    with the reference's wrapper; validated against an independently
+    structured oracle + committed golden fixtures
+    (tests/test_metrics.py / tests/stoi_oracle.py) and published anchor
+    behaviours (identity -> 1.0, noise degrades monotonically);
+  * PESQ -- `pypesq`/`pesq` when importable (bit-exact ITU scores);
+    otherwise the framework's own native P.862-structured implementation
+    (runtime/pesq862.cc: the full published algorithm, calibrated on
+    anchors, not ITU-conformance-tested -- see its header).  The fwSegSNR
+    proxy remains only as a last-resort, clearly-labelled fallback
+    (allow_proxy=True) and is never reported as PESQ.
 """
 
 from __future__ import annotations
@@ -98,38 +103,46 @@ def _third_octave_bands(sr=_STOI_SR, nfft=_STOI_NFFT, n_bands=_STOI_NBANDS,
     return bands
 
 
+def _stoi_window(frame=_STOI_FRAME):
+    """pystoi's analysis window: hann(frame+2) without the zero endpoints
+    (scipy.signal.windows.hann(N+2)[1:-1]); computed directly to avoid the
+    scipy import."""
+    n = np.arange(1, frame + 1)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / (frame + 1))
+
+
 def _stft_frames(x, frame=_STOI_FRAME, hop=_STOI_HOP, nfft=_STOI_NFFT):
     n = (len(x) - frame) // hop + 1
     if n <= 0:
         return np.zeros((0, nfft // 2 + 1))
     idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
-    frames = x[idx] * np.hanning(frame)[None, :]
+    frames = x[idx] * _stoi_window(frame)[None, :]
     return np.fft.rfft(frames, nfft)
 
 
 def _remove_silent_frames(clean, proc, dyn_range=_STOI_DYN_RANGE,
                           frame=_STOI_FRAME, hop=_STOI_HOP):
+    """Drop frames more than `dyn_range` dB below the loudest clean frame,
+    then overlap-add the surviving windowed frames (pystoi semantics: the
+    window is applied once and the 50%-overlap hann sums to ~unity, no
+    renormalization)."""
     n = (len(clean) - frame) // hop + 1
     if n <= 0:
         return clean, proc
     idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
-    w = np.hanning(frame)
-    energies = 20 * np.log10(
-        np.linalg.norm(clean[idx] * w, axis=1) / np.sqrt(np.sum(w**2)) + 1e-12
-    )
+    w = _stoi_window(frame)
+    energies = 20 * np.log10(np.linalg.norm(clean[idx] * w, axis=1) + 1e-12)
     mask = energies > energies.max() - dyn_range
     if not mask.any():
         return clean, proc
 
     def rebuild(x):
         out = np.zeros((mask.sum() - 1) * hop + frame)
-        wsum = np.zeros_like(out)
         pos = 0
         for i in np.where(mask)[0]:
             out[pos : pos + frame] += x[idx[i]] * w
-            wsum[pos : pos + frame] += w
             pos += hop
-        return out / np.maximum(wsum, 1e-12)
+        return out
 
     return rebuild(clean), rebuild(proc)
 
@@ -204,12 +217,21 @@ def _fwseg_snr_mos_proxy(clean, degraded, sample_rate) -> float:
 
 
 class PESQ:
-    """ITU-T P.862 PESQ when a conforming implementation is importable.
+    """P.862 PESQ scoring.
 
-    Resolution order: `pypesq` (the reference's dependency,
-    model_utils/utils.py:9,44), then `pesq`.  Without either, calls raise
-    unless constructed with allow_proxy=True, in which case the fwSegSNR
-    proxy above is returned and `self.is_proxy` is True.
+    Resolution order:
+      1. `pypesq` (the reference's dependency, model_utils/utils.py:9,44)
+         -- bit-exact ITU scores when installed;
+      2. `pesq` package -- same;
+      3. the framework's native P.862-structured implementation
+         (runtime/pesq862.cc via data.native.pesq_nb): the full published
+         algorithm (IRS-style filtering, level + time alignment, Bark
+         pitch power densities, freq/gain compensation, Zwicker loudness,
+         masked asymmetric disturbance, L6/L2 aggregation), calibrated on
+         anchor conditions but NOT conformance-tested against the ITU
+         code -- `implementation` reports "p862-native";
+      4. with allow_proxy=True only: the fwSegSNR proxy above
+         (`is_proxy` is True; never reported as PESQ).
     """
 
     def __init__(self, sr: int = 16000, allow_proxy: bool = False):
@@ -217,12 +239,14 @@ class PESQ:
         self.allow_proxy = allow_proxy
         self._impl = None
         self.is_proxy = False
+        self.implementation = "none"
         try:
             from pypesq import pesq as _pesq  # type: ignore
 
             if not callable(_pesq):  # stubbed module, not a real install
                 raise ImportError("pypesq.pesq is not callable")
             self._impl = lambda a, b: _pesq(a, b, self.sr)
+            self.implementation = "pypesq"
         except ImportError:
             try:
                 from pesq import pesq as _pesq  # type: ignore
@@ -231,10 +255,25 @@ class PESQ:
                     raise ImportError("pesq.pesq is not callable")
                 mode = "nb" if self.sr == 8000 else "wb"
                 self._impl = lambda a, b: _pesq(self.sr, a, b, mode)
+                self.implementation = "pesq"
             except ImportError:
-                if allow_proxy:
+                from fullycnnspeechenhancement_tpu.data import native
+
+                if native.native_available():
+                    self._impl = self._native_nb
+                    self.implementation = "p862-native"
+                elif allow_proxy:
                     self._impl = lambda a, b: _fwseg_snr_mos_proxy(a, b, self.sr)
                     self.is_proxy = True
+                    self.implementation = "fwsegsnr-proxy"
+
+    def _native_nb(self, reference, degraded):
+        from fullycnnspeechenhancement_tpu.data import native
+
+        if self.sr != 8000:  # narrowband model: score at 8 kHz
+            reference = resample(np.asarray(reference, np.float64), self.sr, 8000)
+            degraded = resample(np.asarray(degraded, np.float64), self.sr, 8000)
+        return native.pesq_nb(reference, degraded)
 
     @property
     def available(self) -> bool:
