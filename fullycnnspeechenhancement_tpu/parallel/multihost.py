@@ -28,8 +28,14 @@ def initialize_multihost(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Idempotent jax.distributed.initialize with env fallbacks."""
-    if jax.process_count() > 1:
+    """Idempotent jax.distributed.initialize with env fallbacks.
+
+    NOTE: must run before anything initializes the XLA backend (jax
+    requires distributed init first); the idempotency guard therefore uses
+    `jax.distributed.is_initialized()`, which does NOT touch backends --
+    `jax.process_count()` would initialize them and poison the init.
+    """
+    if jax.distributed.is_initialized():
         return  # already initialized
     kwargs = {}
     if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
@@ -53,8 +59,18 @@ def initialize_multihost(
             jax.local_device_count(),
             jax.device_count(),
         )
-    except Exception as e:  # noqa: BLE001 -- single-host fallback
-        logger.warning("jax.distributed.initialize failed (%s); single host", e)
+    except Exception as e:  # noqa: BLE001
+        if kwargs:
+            # The pod was EXPLICITLY configured (args or JAX_* env): a
+            # silent single-host fallback would train on 1/N of the data
+            # with nobody noticing -- fail loudly instead.
+            raise RuntimeError(
+                f"jax.distributed.initialize({kwargs}) failed; refusing to "
+                "fall back to single-host for an explicitly configured pod"
+            ) from e
+        # Auto-detection path (no explicit config): single host is the
+        # expected outcome outside a pod.
+        logger.warning("jax.distributed auto-init failed (%s); single host", e)
 
 
 def maybe_initialize_from_env() -> None:

