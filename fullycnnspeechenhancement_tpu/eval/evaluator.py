@@ -7,6 +7,16 @@ magnitude/phase split, prediction and waveform rebuild run on device in one
 jitted program per bucket; the host only truncates, scores (STOI/SDR
 always, PESQ when an ITU implementation is importable) and writes the
 clean/mix/denoised wav triplets.
+
+Known cost of static shapes: the last batch of each bucket is padded to
+the full batch size with tail repeats, which run through the device
+forward but are scored only once (the `seen` filter below).  At batch
+size B the worst case wastes (B-1)/B of one batch per bucket -- for the
+reference's batch 2 that is one duplicate utterance per bucket, and the
+duplicate rides a program that is already compiled and launched, so the
+marginal wall-clock is the device compute only.  Compiling a second
+smaller shape per bucket would trade ~1 min of tunnel compile time per
+bucket to save it; not worth it at eval scale.
 """
 
 from __future__ import annotations
