@@ -162,7 +162,7 @@ class SpectrogramExtractor:
     def batch_max_frame_mask(
         self, lengths: jnp.ndarray, total_frames: int
     ) -> jnp.ndarray:
-        """[B, T] 1.0 where the frame index is < the BATCH-MAX frame count.
+        """[1, T] 1.0 where the frame index is < the BATCH-MAX frame count.
 
         This is the region the reference's padded collate materializes
         (data_loader.py:198-225 pads every spectrogram to the longest in
@@ -170,8 +170,16 @@ class SpectrogramExtractor:
         utterances' zero-pad frames -- exist and enter the loss and BN
         statistics; frames at/after it (static bucket slack) do not exist
         in the reference at all.
+
+        The mask is identical for every batch row, so it stays [1, T] and
+        broadcasts: a materialized [B, T] mask forces XLA to build a full
+        [B, T, F-blocks] f32 mask product inside every BN layer's moment
+        reduction (fwd AND bwd), a measured 28 ms/step regression on the
+        batch-64 blocked V2 step (benchmarks/micro_mask_cost.py: 108.97 ms
+        with a [B, T] mask vs 80.61 ms with [1, T]; no-mask 80.40 ms).
+        Moment denominators in blocks.py/blocked.py scale by the broadcast
+        factor B // mask.shape[0].
         """
         bm = jnp.max(self.frame_counts(lengths))
         t = jnp.arange(total_frames)[None, :]
-        mask = (t < bm).astype(jnp.float32)
-        return jnp.broadcast_to(mask, (lengths.shape[0], total_frames))
+        return (t < bm).astype(jnp.float32)

@@ -194,8 +194,16 @@ def apply_blocked(
                 y32 = y.astype(mdt).reshape(B, T, nb, fb, cout)
                 m32 = mask4.astype(mdt)[..., None]
                 if frame_mask is not None:
+                    # [1, T] batch-max masks stay broadcast (a [B, T] mask
+                    # materializes a full-rank f32 mask product per layer:
+                    # measured +28 ms/step -- micro_mask_cost.py); the
+                    # denominator scales by the broadcast factor.
                     m32 = m32 * frame_mask.astype(mdt)[:, :, None, None, None]
-                    n = jnp.sum(frame_mask.astype(mdt)) * F
+                    n = (
+                        jnp.sum(frame_mask.astype(mdt))
+                        * F
+                        * (B // frame_mask.shape[0])
+                    )
                 else:
                     n = n_real
                 ys = jnp.sum(y32 * m32, axis=(0, 1, 2, 3))

@@ -107,8 +107,12 @@ def conv_bn_relu_apply(
             # moments would drift the moving stats; f64 inputs keep f64).
             y32 = y.astype(jnp.promote_types(jnp.float32, y.dtype))
             if frame_mask is not None:
+                # frame_mask may be [1, T] (batch-max mask, row-identical:
+                # keep it broadcast -- see features.batch_max_frame_mask)
+                # or [B, T] (per-utterance); the denominator scales by the
+                # broadcast factor.
                 m = frame_mask.astype(y32.dtype)[:, :, None, None]
-                n = jnp.sum(m) * y.shape[2]
+                n = jnp.sum(m) * y.shape[2] * (y.shape[0] // m.shape[0])
                 mean = jnp.sum(y32 * m, axis=(0, 1, 2)) / n
                 var = jnp.sum(jnp.square(y32) * m, axis=(0, 1, 2)) / n - jnp.square(
                     mean

@@ -77,8 +77,9 @@ class ModelDef:
         mode), DEFAULT for bfloat16 (the TPU fast path -- measured ~2.6x
         conv throughput on v5e vs f32 HIGHEST).
 
-        `frame_mask` ([B, T]) restricts BN batch statistics to masked
-        frames (see blocks.conv_bn_relu_apply).
+        `frame_mask` ([B, T], or broadcastable [1, T] for row-identical
+        batch-max masks) restricts BN batch statistics to masked frames
+        (see blocks.conv_bn_relu_apply).
         """
         if precision is None:
             precision = (
