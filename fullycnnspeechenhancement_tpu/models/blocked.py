@@ -53,6 +53,7 @@ from fullycnnspeechenhancement_tpu.models.blocks import (
     tf_same_pads,
 )
 from fullycnnspeechenhancement_tpu.models.rced import ModelDef
+from fullycnnspeechenhancement_tpu.ops.pallas_dw import blocked_freq_conv
 
 # Measured on v5e (benchmarks/micro_blocked_fb.py, V2 train step bf16,
 # B=64 T=500): fb=4 -> 85.8 ms, fb=8 -> 79.8 ms, fb=16 -> 91.3 ms vs
@@ -174,14 +175,20 @@ def apply_blocked(
 
         wb, dc = _block_weight(p["w"], fb)
         kb = wb.shape[1]
-        y = jax.lax.conv_general_dilated(
-            z,
-            wb.astype(x.dtype),
-            (1, 1),
-            [tf_same_pads(spec.kernel)[0], (dc, kb - 1 - dc)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            precision=precision,
-        )
+        if kh == 1:
+            # Inner freq-conv: custom backward -- dW runs one HBM pass in
+            # a Pallas kernel on TPU instead of XLA's ~5-pass grad-conv
+            # (31 -> ~7 ms of the batch-64 V2 step; ops/pallas_dw.py).
+            y = blocked_freq_conv(z, wb.astype(x.dtype), dc, precision)
+        else:
+            y = jax.lax.conv_general_dilated(
+                z,
+                wb.astype(x.dtype),
+                (1, 1),
+                [tf_same_pads(spec.kernel)[0], (dc, kb - 1 - dc)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=precision,
+            )
         bias = jnp.tile(p["b"], fb)
         y = y + bias.astype(x.dtype)
 

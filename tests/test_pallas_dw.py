@@ -1,0 +1,139 @@
+"""Correctness of the custom dW path for inner blocked freq-convs.
+
+The train step's weight gradients must equal XLA autodiff's exactly up
+to floating-point reduction order: the reference trains these layers
+with TF-1.14's own conv gradients (/root/reference/model_utils/
+trainer.py:175-179), and our parity claims ride on gradient equality.
+Covers: custom_vjp (conv fwd + transposed-conv dX + einsum/Pallas dW)
+vs plain jax.grad of the raw conv, in f32 and f64, and the Pallas
+kernel (interpret mode) vs the einsum reference including the partial
+final row tile.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fullycnnspeechenhancement_tpu.ops.pallas_dw import (
+    _freq_conv_raw,
+    blocked_dw_pallas,
+    blocked_dw_reference,
+    blocked_freq_conv,
+)
+
+
+def _loss_weights(rng, shape):
+    return jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+
+
+@pytest.mark.parametrize("kb,dc", [(4, 2), (6, 3)])
+def test_custom_vjp_matches_autodiff_f32(kb, dc):
+    rng = np.random.default_rng(0)
+    B, T, NB, CI, CO = 2, 9, 5, 24, 16
+    z = _loss_weights(rng, (B, T, NB, CI))
+    wb = _loss_weights(rng, (1, kb, CI, CO)) * 0.1
+    g = _loss_weights(rng, (B, T, NB, CO))
+    prec = jax.lax.Precision.HIGHEST
+
+    def loss_custom(z, wb):
+        return jnp.sum(blocked_freq_conv(z, wb, dc, prec) * g)
+
+    def loss_raw(z, wb):
+        return jnp.sum(_freq_conv_raw(z, wb, dc, prec) * g)
+
+    (lc, (dzc, dwc)) = jax.value_and_grad(loss_custom, argnums=(0, 1))(z, wb)
+    (lr, (dzr, dwr)) = jax.value_and_grad(loss_raw, argnums=(0, 1))(z, wb)
+    np.testing.assert_allclose(lc, lr, rtol=1e-6)
+    np.testing.assert_allclose(dzc, dzr, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(dwc, dwr, rtol=1e-5, atol=1e-4)
+
+
+def test_custom_vjp_matches_autodiff_f64():
+    import subprocess
+    import sys
+    import textwrap
+
+    code = textwrap.dedent(
+        """
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        import numpy as np, jax.numpy as jnp
+        from fullycnnspeechenhancement_tpu.ops.pallas_dw import (
+            _freq_conv_raw, blocked_freq_conv)
+        rng = np.random.default_rng(1)
+        B, T, NB, CI, CO, kb, dc = 2, 7, 4, 12, 10, 4, 2
+        z = jnp.asarray(rng.standard_normal((B, T, NB, CI)))
+        wb = jnp.asarray(rng.standard_normal((1, kb, CI, CO)) * 0.1)
+        g = jnp.asarray(rng.standard_normal((B, T, NB, CO)))
+        prec = jax.lax.Precision.HIGHEST
+        lc = lambda z, wb: jnp.sum(blocked_freq_conv(z, wb, dc, prec) * g)
+        lr = lambda z, wb: jnp.sum(_freq_conv_raw(z, wb, dc, prec) * g)
+        dzc, dwc = jax.grad(lc, argnums=(0, 1))(z, wb)
+        dzr, dwr = jax.grad(lr, argnums=(0, 1))(z, wb)
+        assert dzc.dtype == jnp.float64
+        np.testing.assert_allclose(dzc, dzr, rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(dwc, dwr, rtol=1e-12, atol=1e-12)
+        print("f64 ok")
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=600
+    )
+    assert out.returncode == 0, out.stderr
+    assert "f64 ok" in out.stdout
+
+
+@pytest.mark.parametrize(
+    "rows_shape",
+    [
+        (4, 8),  # B*T = 32: multiple of nothing interesting but < tile
+        (8, 33),  # B*T = 264: forces a partial final 128-row tile
+    ],
+)
+def test_pallas_kernel_matches_reference(rows_shape):
+    B, T = rows_shape
+    NB, CI, CO, kb, dc = 17, 16, 24, 4, 2
+    rng = np.random.default_rng(2)
+    z = jnp.asarray(rng.standard_normal((B, T, NB, CI)).astype(np.float32))
+    dy = jnp.asarray(rng.standard_normal((B, T, NB, CO)).astype(np.float32))
+    want = blocked_dw_reference(z, dy, kb, dc)
+    got = blocked_dw_pallas(z, dy, kb, dc, interpret=True)[None]
+    got = got.reshape(want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_blocked_model_grads_unchanged_by_custom_vjp():
+    """apply_blocked (which now routes inner convs through the custom
+    vjp) must produce the same gradients as the NHWC reference path --
+    re-asserts the guarantee of tests/test_blocked.py after the dW
+    rerouting, at f32 on small shapes."""
+    from fullycnnspeechenhancement_tpu.models import get_model
+    from fullycnnspeechenhancement_tpu.models.blocked import apply_blocked
+
+    model = get_model("FullyCNNV2")
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 12, 129, 1)).astype(np.float32))
+
+    def loss_blocked(p):
+        y, _ = apply_blocked(model, p, bn_state, x, is_training=True)
+        return jnp.sum(jnp.square(y))
+
+    def loss_nhwc(p):
+        y, _ = model.apply(p, bn_state, x, is_training=True)
+        return jnp.sum(jnp.square(y))
+
+    gb = jax.grad(loss_blocked)(params)
+    gn = jax.grad(loss_nhwc)(params)
+    for name in params:
+        for leaf in params[name]:
+            np.testing.assert_allclose(
+                gb[name][leaf],
+                gn[name][leaf],
+                rtol=2e-3,
+                atol=2e-3,
+                err_msg=f"{name}/{leaf}",
+            )
