@@ -194,11 +194,12 @@ def bench_trainer_real_loop(
     return audio_run / dt
 
 
-def bench_infer(batch=64, seconds_per_utt=8.0, iters=20, repeats=3):
+def bench_infer(batch=64, seconds_per_utt=8.0, iters=20, repeats=3, fused=False):
     """Full denoise pipeline on device (STFT analysis, V2 forward,
     waveform rebuild), chained in one jitted scan; carry perturbation
     keeps iterations sequential so XLA cannot hoist the loop-invariant
-    body."""
+    body.  `fused=True` serves the forward through the whole-stack
+    Pallas kernel (ops/pallas_rced.py) instead of the XLA blocked path."""
     import jax
     import jax.numpy as jnp
 
@@ -211,7 +212,8 @@ def bench_infer(batch=64, seconds_per_utt=8.0, iters=20, repeats=3):
         model=ModelConfig(
             net_work="FullyCNNV2",
             compute_dtype="bfloat16",
-            blocked_compute=True,
+            blocked_compute=not fused,
+            fused_inference=fused,
         )
     )
     model = get_model("FullyCNNV2")
@@ -326,42 +328,132 @@ def bench_torch_cpu_baseline(batch=2, seconds_per_utt=8.0, warmup=1, iters=3):
     return batch * seconds_per_utt * iters / dt
 
 
+def smoke():
+    """Pre-snapshot gate: compile + run every Pallas kernel on the REAL
+    backend at production shapes and fetch a scalar.  Mosaic accepts
+    strictly less than interpret mode (round 1: misaligned fused-kernel
+    slices; round 2: the dW kernel's non-pack-aligned NB reshape), so a
+    CPU-green tree says nothing about the chip -- this does.  Exits
+    non-zero on the first failure.  Documented as the mandatory gate in
+    benchmarks/PERF_NOTES.md; run time ~1-2 min (compiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fullycnnspeechenhancement_tpu.config import Config, ModelConfig, TrainConfig
+    from fullycnnspeechenhancement_tpu.models import get_model
+    from fullycnnspeechenhancement_tpu.train import create_train_state
+    from fullycnnspeechenhancement_tpu.train.step import (
+        Batch,
+        make_eval_step,
+        make_train_step,
+    )
+
+    print(f"smoke: backend={jax.default_backend()}", flush=True)
+    rng = np.random.default_rng(0)
+    failures = []
+    # 1. blocked bf16 train step fwd+bwd (routes every inner-layer dW
+    #    through ops/pallas_dw.py when dw_pallas=True).
+    for name, batch, samples in [
+        ("train_blocked_bf16_b64", 64, 64000),
+        ("train_blocked_bf16_b2_short", 2, 8000),
+    ]:
+        try:
+            config = Config(
+                model=ModelConfig(
+                    net_work="FullyCNNV2",
+                    compute_dtype="bfloat16",
+                    blocked_compute=True,
+                ),
+                train=TrainConfig(batch_size=batch, lr=1.5e-3),
+            )
+            model = get_model("FullyCNNV2")
+            state = create_train_state(config, model, jax.random.PRNGKey(0))
+            step = jax.jit(make_train_step(config, model))
+            mix, clean, lengths = _make_batch(rng, batch, samples)
+            b = Batch(jnp.asarray(mix), jnp.asarray(clean), jnp.asarray(lengths))
+            _, metrics = step(state, b)
+            print(f"smoke: {name} loss={float(metrics['loss']):.4f}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, e))
+            print(f"smoke: {name} FAILED: {type(e).__name__}: {e}", flush=True)
+    # 2. fused whole-stack inference kernel (ops/pallas_rced.py).
+    try:
+        config = Config(
+            model=ModelConfig(
+                net_work="FullyCNNV2",
+                compute_dtype="bfloat16",
+                fused_inference=True,
+            )
+        )
+        model = get_model("FullyCNNV2")
+        params, bn_state = model.init(jax.random.PRNGKey(0))
+        eval_step = jax.jit(
+            lambda w, l: make_eval_step(config, model, is_training=False)(
+                params, bn_state, w, l
+            )
+        )
+        mix, _, lengths = _make_batch(rng, 8, 32000)
+        pred, _, _ = eval_step(jnp.asarray(mix), jnp.asarray(lengths))
+        print(f"smoke: fused_inference sum={float(pred.sum()):.4f}", flush=True)
+    except Exception as e:  # noqa: BLE001
+        failures.append(("fused_inference", e))
+        print(f"smoke: fused_inference FAILED: {type(e).__name__}: {e}", flush=True)
+    if failures:
+        raise SystemExit(f"smoke: {len(failures)} kernel(s) failed on real backend")
+    print("smoke: all Pallas paths compile + run on the real backend")
+
+
 def main():
     from fullycnnspeechenhancement_tpu.cli import enable_compilation_cache
 
     enable_compilation_cache()
-    scanned = bench_tpu()
-    try:
-        real = bench_trainer_real_loop()
-    except Exception:
-        real = None
-    try:
-        infer = bench_infer()
-    except Exception:
-        infer = None
-    try:
-        baseline = bench_torch_cpu_baseline()
-    except Exception:
-        baseline = None
+
+    # Every section guarded: one broken path must never zero out the
+    # others (round 2 lost ALL numbers to one Mosaic failure in the
+    # unguarded scanned bench).  The JSON line is always emitted, with
+    # an `errors` map naming whatever failed.
+    errors = {}
+
+    def _run(name, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            return None
+
+    scanned = _run("train_scanned", bench_tpu)
+    real = _run("train_loop", bench_trainer_real_loop)
+    infer = _run("infer", bench_infer)
+    infer_fused = _run("infer_fused", lambda: bench_infer(fused=True))
+    baseline = _run("baseline", bench_torch_cpu_baseline)
     # Headline metric: the REAL Trainer.train loop (the number a user's
     # training run actually sees); the scanned device-only chain is the
     # upper bound it is held against.
     value = real if real is not None else scanned
-    print(
-        json.dumps(
-            {
-                "metric": "train_audio_seconds_per_second",
-                "value": round(value, 2),
-                "unit": "audio-s/s",
-                "vs_baseline": round(value / baseline, 2) if baseline else None,
-                "train_loop": round(real, 2) if real else None,
-                "train_scanned": round(scanned, 2),
-                "train_loop_frac": round(real / scanned, 3) if real else None,
-                "infer": round(infer, 2) if infer else None,
-            }
-        )
-    )
+    out = {
+        "metric": "train_audio_seconds_per_second",
+        "value": round(value, 2) if value else None,
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / baseline, 2)
+        if value and baseline
+        else None,
+        "train_loop": round(real, 2) if real else None,
+        "train_scanned": round(scanned, 2) if scanned else None,
+        "train_loop_frac": round(real / scanned, 3)
+        if real and scanned
+        else None,
+        "infer": round(infer, 2) if infer else None,
+        "infer_fused": round(infer_fused, 2) if infer_fused else None,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--smoke" in sys.argv:
+        smoke()
+    else:
+        main()

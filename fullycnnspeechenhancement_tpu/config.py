@@ -104,6 +104,11 @@ class ModelConfig:
     # Frequency bins folded per block (see models/blocked.py FB_DEFAULT's
     # measured sweep; 8 is the v5e sweet spot).
     blocked_fb: int = 8
+    # Route the blocked inner freq-convs' weight gradient through the
+    # single-HBM-pass Pallas kernel (ops/pallas_dw.py) on TPU.  False
+    # falls back to the einsum dW (identical math) -- the escape hatch if
+    # Mosaic rejects a new shape.  Only consulted when blocked_compute.
+    dw_pallas: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -233,6 +238,8 @@ def load_ini_config(path: str) -> Config:
             _get(cp, "model", "blocked_compute", "False")
         ).lower() in ("1", "true", "yes"),
         blocked_fb=int(_get(cp, "model", "blocked_fb", 8)),
+        dw_pallas=str(_get(cp, "model", "dw_pallas", "True")).lower()
+        in ("1", "true", "yes"),
     )
 
     train_kwargs = {}

@@ -7,4 +7,6 @@ from fullycnnspeechenhancement_tpu.eval.metrics import (  # noqa: F401
     PESQ,
     stoi,
     sdr,
+    mos_lqo,
+    mos_lqo_inverse,
 )

@@ -28,6 +28,8 @@ this image, so:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from fullycnnspeechenhancement_tpu.data.audio_io import resample
@@ -214,6 +216,29 @@ def _fwseg_snr_mos_proxy(clean, degraded, sample_rate) -> float:
     seg = np.sum(w * np.clip(snr, -10.0, 35.0), axis=1) / (np.sum(w, axis=1) + 1e-12)
     mean_snr = float(np.mean(seg))
     return float(np.clip(1.0 + 3.5 * (mean_snr + 10.0) / 45.0, 1.0, 4.5))
+
+
+def mos_lqo(raw_mos: float) -> float:
+    """ITU-T P.862.1 mapping from raw P.862 MOS to MOS-LQO.
+
+    Published mapping (Rec. P.862.1, eq. 1; also applied by the `pesq`
+    PyPI package for narrowband mode):
+
+        y = 0.999 + (4.999 - 0.999) / (1 + exp(-1.4945 * x + 4.6607))
+
+    The reference's pypesq returns RAW P.862 MOS (model_utils/
+    utils.py:44 reports that scale, e.g. the published 2.27 at
+    readme.md:69-73), so the framework scores raw MOS everywhere and
+    exposes this mapping for users comparing against MOS-LQO numbers.
+    """
+    x = float(raw_mos)
+    return 0.999 + 4.0 / (1.0 + math.exp(-1.4945 * x + 4.6607))
+
+
+def mos_lqo_inverse(lqo: float) -> float:
+    """Inverse of `mos_lqo` (P.862.1 eq. 2 domain): MOS-LQO -> raw MOS."""
+    y = min(max(float(lqo), 0.999 + 1e-9), 4.999 - 1e-9)
+    return (4.6607 - math.log(4.0 / (y - 0.999) - 1.0)) / 1.4945
 
 
 class PESQ:

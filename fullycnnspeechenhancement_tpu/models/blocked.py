@@ -123,6 +123,7 @@ def apply_blocked(
     fb: int = FB_DEFAULT,
     precision=None,
     frame_mask=None,
+    dw_pallas: bool = True,
 ):
     """Drop-in equivalent of `ModelDef.apply` on NHWC [B, T, F, 1].
 
@@ -179,7 +180,9 @@ def apply_blocked(
             # Inner freq-conv: custom backward -- dW runs one HBM pass in
             # a Pallas kernel on TPU instead of XLA's ~5-pass grad-conv
             # (31 -> ~7 ms of the batch-64 V2 step; ops/pallas_dw.py).
-            y = blocked_freq_conv(z, wb.astype(x.dtype), dc, precision)
+            # `dw_pallas=False` (config model.dw_pallas) falls back to the
+            # einsum dW -- the escape hatch if Mosaic rejects a shape.
+            y = blocked_freq_conv(z, wb.astype(x.dtype), dc, precision, dw_pallas)
         else:
             y = jax.lax.conv_general_dilated(
                 z,

@@ -44,13 +44,29 @@ from jax.experimental.pallas import tpu as pltpu
 _TILE_R = 128
 
 
-def _dw_kernel(z_ref, dy_ref, dw_ref, *, kb: int, dc: int, rows: int):
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _dw_kernel(
+    z_ref, dy_ref, dw_ref, *, kb: int, dc: int, rows: int, nb_pad: int
+):
     """Grid step: accumulate one row tile's dW contribution.
 
     z_ref:  [TILE_R, NB, Ci]  (input activations, compute dtype)
     dy_ref: [TILE_R, NB, Co]  (output cotangent, compute dtype)
     dw_ref: [KB, Ci, Co] f32  (accumulator; constant index map keeps it
                                VMEM-resident across the grid)
+
+    `nb_pad` is NB rounded up to a sublane-pack multiple (32 covers
+    bf16's 16 and f32's 8): Mosaic rejects the [R, NB, C] -> [R*NB, C]
+    shape cast when NB is not pack-aligned (round-2 bench failure:
+    `tpu.reshape vector<128x17x184xbf16> -> vector<2176x184xbf16>`).
+    Padding dy's NB axis with zero rows leaves the dot unchanged, and
+    z's pad band beyond the (dc, kb-1-dc) conv padding is only ever
+    multiplied by those zero dy rows.  Verified to compile + match the
+    einsum reference on the real v5e chip (rel err ~4e-7 at the
+    production [8,66,17,184]x[...,200] bf16 shape).
     """
     i = pl.program_id(0)
 
@@ -67,17 +83,18 @@ def _dw_kernel(z_ref, dy_ref, dw_ref, *, kb: int, dc: int, rows: int):
     row_ok = row_ids < valid
     dy = jnp.where(row_ok, dy_ref[:], 0)
 
-    # One zero-padded copy; each tap d reads slice [d : d+nb] of it,
+    # One zero-padded copy; each tap d reads slice [d : d+nb_pad] of it,
     # reproducing the forward conv's (dc, kb-1-dc) NB padding.  Mosaic's
     # matmul wants plain 2D contractions, so (rows, NB) collapse before
-    # the dot.
+    # the dot -- after pack-aligning NB (see above).
     z = jnp.where(row_ok, z_ref[:], 0)
-    zp = jnp.pad(z, ((0, 0), (dc, kb - 1 - dc), (0, 0)))
-    dy2 = dy.reshape(tile_r * nb, -1)
+    dyp = jnp.pad(dy, ((0, 0), (0, nb_pad - nb), (0, 0)))
+    zp = jnp.pad(z, ((0, 0), (dc, nb_pad + kb - 1 - nb - dc), (0, 0)))
+    dy2 = dyp.reshape(tile_r * nb_pad, -1)
     for d in range(kb):
-        zd = jax.lax.slice_in_dim(zp, d, d + nb, axis=1)
+        zd = jax.lax.slice_in_dim(zp, d, d + nb_pad, axis=1)
         dw_ref[d] += jax.lax.dot_general(
-            zd.reshape(tile_r * nb, -1),
+            zd.reshape(tile_r * nb_pad, -1),
             dy2,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -94,11 +111,12 @@ def blocked_dw_pallas(
     B, T, nb, ci = z.shape
     co = dy.shape[3]
     rows = B * T
+    nb_pad = _round_up(nb, 32)
     z2 = z.reshape(rows, nb, ci)
     dy2 = dy.reshape(rows, nb, co)
     grid = pl.cdiv(rows, _TILE_R)
     dw = pl.pallas_call(
-        functools.partial(_dw_kernel, kb=kb, dc=dc, rows=rows),
+        functools.partial(_dw_kernel, kb=kb, dc=dc, rows=rows, nb_pad=nb_pad),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((_TILE_R, nb, ci), lambda i: (i, 0, 0)),
@@ -143,20 +161,21 @@ def _freq_conv_raw(z, wb, dc, precision):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def blocked_freq_conv(z, wb, dc: int, precision):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def blocked_freq_conv(z, wb, dc: int, precision, use_pallas: bool = True):
     """Inner blocked freq-conv ([1, KB] kernel, NB padding (dc, KB-1-dc))
     with a custom backward: dX is the mirrored transposed conv (exactly
     XLA autodiff's formulation); dW runs the single-pass Pallas kernel
-    on TPU and the einsum reference elsewhere."""
+    on TPU (when `use_pallas`, i.e. config `model.dw_pallas`) and the
+    einsum reference elsewhere."""
     return _freq_conv_raw(z, wb, dc, precision)
 
 
-def _freq_conv_fwd(z, wb, dc, precision):
+def _freq_conv_fwd(z, wb, dc, precision, use_pallas):
     return _freq_conv_raw(z, wb, dc, precision), (z, wb)
 
 
-def _freq_conv_bwd(dc, precision, residuals, dy):
+def _freq_conv_bwd(dc, precision, use_pallas, residuals, dy):
     z, wb = residuals
     kb = wb.shape[1]
     # dX: conv of dy with the tap-flipped, channel-transposed kernel and
@@ -170,7 +189,7 @@ def _freq_conv_bwd(dc, precision, residuals, dy):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=precision,
     )
-    if jax.default_backend() == "tpu":
+    if use_pallas and jax.default_backend() == "tpu":
         dw = blocked_dw_pallas(z, dy, kb, dc)
     else:
         dw = blocked_dw_reference(z, dy, kb, dc)

@@ -102,7 +102,12 @@ def _model_forward(config: Config, model: ModelDef):
     if config.model.blocked_compute:
         from fullycnnspeechenhancement_tpu.models.blocked import apply_blocked
 
-        return functools.partial(apply_blocked, model, fb=config.model.blocked_fb)
+        return functools.partial(
+            apply_blocked,
+            model,
+            fb=config.model.blocked_fb,
+            dw_pallas=config.model.dw_pallas,
+        )
     return model.apply
 
 

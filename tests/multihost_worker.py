@@ -29,6 +29,13 @@ def main():
     p.add_argument("--coord", required=True)
     p.add_argument("--manifest", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument(
+        "--steps",
+        type=int,
+        default=1,
+        help="steps_per_call: >1 runs the stacked multi-step DP path "
+        "(make_parallel_multi_step) instead of the single-step path",
+    )
     a = p.parse_args()
 
     import jax
@@ -57,7 +64,9 @@ def main():
     from fullycnnspeechenhancement_tpu.models import get_model
     from fullycnnspeechenhancement_tpu.parallel import make_mesh
     from fullycnnspeechenhancement_tpu.parallel.dp import (
+        make_parallel_multi_step,
         make_parallel_train_step,
+        stacked_batch_sharding,
     )
     from fullycnnspeechenhancement_tpu.train import create_train_state
     from fullycnnspeechenhancement_tpu.train.step import Batch
@@ -89,21 +98,49 @@ def main():
     def globalize(local):
         return jax.make_array_from_process_local_data(sh, np.asarray(local))
 
-    batch = Batch(
-        globalize(b.mix_wav), globalize(b.clean_wav), globalize(b.lengths)
-    )
     model = get_model("FullyCNNV2")
     state = create_train_state(config, model, jax.random.PRNGKey(42))
-    pstep = make_parallel_train_step(config, model, mesh)
-    state, metrics = pstep(state, batch)
-    loss = float(metrics["loss"])
+    if a.steps == 1:
+        batch = Batch(
+            globalize(b.mix_wav), globalize(b.clean_wav), globalize(b.lengths)
+        )
+        pstep = make_parallel_train_step(config, model, mesh)
+        state, metrics = pstep(state, batch)
+        losses = np.asarray([float(metrics["loss"])])
+    else:
+        # Stacked [K, B_local, ...] batch: step k's batch is the loader
+        # batch scaled by a deterministic per-step gain, so the parent's
+        # single-process stacked run can rebuild the identical sequence.
+        ssh = stacked_batch_sharding(mesh)
+
+        def globalize_stacked(local):
+            return jax.make_array_from_process_local_data(
+                ssh, np.asarray(local)
+            )
+
+        gains = [1.0 - 0.2 * k for k in range(a.steps)]
+        batch = Batch(
+            globalize_stacked(
+                np.stack([g * np.asarray(b.mix_wav) for g in gains])
+            ),
+            globalize_stacked(
+                np.stack([g * np.asarray(b.clean_wav) for g in gains])
+            ),
+            globalize_stacked(
+                np.stack([np.asarray(b.lengths)] * a.steps)
+            ),
+        )
+        pstep = make_parallel_multi_step(config, model, mesh)
+        state, packed = pstep(state, batch)
+        losses = np.asarray(jax.device_get(packed))[:, 0]
+    loss = float(losses[-1])
     w = np.asarray(jax.device_get(state.params["encode_1"]["w"]))
     bn_mean = np.asarray(jax.device_get(state.bn_state["encode_1"]["mean"]))
     np.savez(
-        f"{a.out}.proc{a.pid}", loss=loss, w=w, bn_mean=bn_mean,
-        n_local_items=len(ds),
+        f"{a.out}.proc{a.pid}", loss=loss, losses=losses, w=w,
+        bn_mean=bn_mean, n_local_items=len(ds), step=int(state.step),
     )
-    print(f"proc {a.pid}: loss={loss}", flush=True)
+    print(f"proc {a.pid}: losses={losses}", flush=True)
 
 
 if __name__ == "__main__":

@@ -86,3 +86,22 @@ def test_aishell2_speaker_split(tmp_path):
     assert "S0000" in dev and "S0025" in dev
     assert "S0010" in test and "S0035" in test
     assert "S0020" not in dev and "S0020" not in test
+
+
+def test_work_cfgs_complete_and_loadable():
+    """Every dataset workflow dir carries train/test/infer cfgs (the
+    reference ships all three per dataset, e.g. /root/reference/Work/
+    aishell_2/cfg/fully_cnn_infer.cfg:1) and each round-trips through
+    load_ini_config."""
+    from fullycnnspeechenhancement_tpu.config import load_ini_config
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for dataset in ("aishell_1", "aishell_2", "voicebank"):
+        for kind in ("train", "test", "infer"):
+            path = os.path.join(
+                repo, "work", dataset, "cfg", f"fully_cnn_{kind}.cfg"
+            )
+            assert os.path.exists(path), path
+            cfg = load_ini_config(path)
+            assert cfg.dsp.sample_rate == 8000
+            assert cfg.model.feature_dim == 129

@@ -1,5 +1,7 @@
 """Metric tests: SDR exactness, STOI anchor behaviours, PESQ gating."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -169,3 +171,55 @@ def test_average_meter():
     assert m.avg == 2.0 and m.count == 3
     m.reset()
     assert m.avg == 0.0 and m.count == 0
+
+
+def test_mos_lqo_mapping_published_properties():
+    """ITU-T P.862.1 raw-MOS -> MOS-LQO mapping: published fixed points
+    and shape.  y = 0.999 + 4/(1+exp(-1.4945x + 4.6607)): strictly
+    monotone, range (0.999, 4.999), midpoint y=2.999 at x=4.6607/1.4945,
+    and inverse round-trips."""
+    from fullycnnspeechenhancement_tpu.eval import mos_lqo, mos_lqo_inverse
+
+    xs = np.linspace(-0.5, 4.5, 51)
+    ys = [mos_lqo(x) for x in xs]
+    assert all(a < b for a, b in zip(ys, ys[1:]))
+    assert all(0.999 < y < 4.999 for y in ys)
+    np.testing.assert_allclose(mos_lqo(4.6607 / 1.4945), 2.999, atol=1e-12)
+    for x in xs:
+        np.testing.assert_allclose(mos_lqo_inverse(mos_lqo(x)), x, atol=1e-9)
+
+
+def test_pesq_native_vs_itu_fixture():
+    """Anchor the native P.862 implementation to REAL ITU scores when the
+    committed fixture exists (generated by tests/gen_pesq_anchor_fixtures
+    .py in any pypesq-equipped environment; this image has neither pypesq
+    nor network egress, so absence skips).  Asserts: identical ranking
+    across the SNR grid and bounded absolute deviation on every anchor
+    condition."""
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "pesq_anchors.npz",
+    )
+    if not os.path.exists(fixture):
+        pytest.skip(
+            "pesq_anchors.npz not generated (needs pypesq; see "
+            "tests/gen_pesq_anchor_fixtures.py)"
+        )
+    from gen_pesq_anchor_fixtures import conditions
+
+    data = np.load(fixture)
+    itu = dict(zip([str(n) for n in data["names"]], data["scores"]))
+    p = PESQ(sr=SR)
+    if not p.available or p.implementation != "p862-native":
+        pytest.skip("native PESQ not the active implementation")
+    ours = {}
+    for name, clean, degraded in conditions():
+        assert name in itu, name
+        ours[name] = p(clean, degraded)
+    snr_names = [f"awgn_snr{s}" for s in (30, 20, 10, 0)]
+    itu_rank = sorted(snr_names, key=lambda n: itu[n])
+    our_rank = sorted(snr_names, key=lambda n: ours[n])
+    assert itu_rank == our_rank, (itu, ours)
+    for name in itu:
+        assert abs(itu[name] - ours[name]) <= 0.6, (name, itu[name], ours[name])
