@@ -41,20 +41,35 @@ def _make_batch(rng, batch, samples):
     return mix, clean, lengths
 
 
-def bench_tpu(batch=64, seconds_per_utt=8.0, iters=50, repeats=3):
-    """Times `iters` train steps chained inside ONE jitted scan, fetching a
-    scalar at the end.  On this remote-tunneled TPU, `block_until_ready`
-    does not actually wait for device completion (measured: it would imply
-    >10 PFLOP/s); only a device->host value fetch is a true barrier, and it
-    costs ~25 ms of tunnel latency -- hence chaining inside the program and
-    amortizing one fetch over `iters` steps."""
+def bench_tpu(batch=64, seconds_per_utt=8.0, steps_per_call=8, calls=8, repeats=3):
+    """Device-only train throughput, measured with the PRODUCTION dispatch
+    structure: a small `lax.scan` of `steps_per_call` optimizer steps per
+    executable (the Trainer's steps_per_call path), `calls` asynchronous
+    chained dispatches (donated state), and ONE value fetch at the end.
+
+    On this remote-tunneled TPU, `block_until_ready` does not actually
+    wait for device completion (measured: it would imply >10 PFLOP/s);
+    only a device->host value fetch is a true barrier (~25 ms of tunnel
+    latency), so the fetch is amortized over `calls*steps_per_call` steps.
+
+    Earlier rounds chained all 50 steps in ONE scan: the remote AOT
+    service takes 10-25 min to compile that program (vs ~1-2 min for the
+    small scan), each process pays it again (persistent-cache keys are
+    process-unstable through the tunnel), and killed clients leave the
+    service digesting orphans.  The small-scan + async-dispatch structure
+    measures the same device-resident throughput without the pathological
+    compile."""
     import jax
     import jax.numpy as jnp
 
     from fullycnnspeechenhancement_tpu.config import Config, TrainConfig
     from fullycnnspeechenhancement_tpu.models import get_model
     from fullycnnspeechenhancement_tpu.train import create_train_state
-    from fullycnnspeechenhancement_tpu.train.step import Batch, make_train_step
+    from fullycnnspeechenhancement_tpu.train.step import (
+        Batch,
+        make_multi_step,
+        make_train_step,
+    )
 
     from fullycnnspeechenhancement_tpu.config import ModelConfig
 
@@ -72,31 +87,35 @@ def bench_tpu(batch=64, seconds_per_utt=8.0, iters=50, repeats=3):
     )
     model = get_model("FullyCNNV2")
     state = create_train_state(config, model, jax.random.PRNGKey(0))
-    step = make_train_step(config, model)
+    multi = jax.jit(
+        make_multi_step(make_train_step(config, model)), donate_argnums=(0,)
+    )
 
     rng = np.random.default_rng(0)
     mix, clean, lengths = _make_batch(rng, batch, samples)
     b = Batch(jnp.asarray(mix), jnp.asarray(clean), jnp.asarray(lengths))
+    # Stack [B,...] -> [K,B,...] ON DEVICE: shipping the pre-stacked batch
+    # through the tunnel would move K x 16 MB per leaf for no reason.
+    sb = jax.jit(
+        lambda bb: Batch(
+            *(
+                jnp.broadcast_to(x[None], (steps_per_call,) + x.shape)
+                for x in bb
+            )
+        )
+    )(b)
 
-    @jax.jit
-    def run_chain(state, b):
-        def body(s, _):
-            s, metrics = step(s, b)
-            return s, metrics["loss"]
-
-        state, losses = jax.lax.scan(body, state, None, length=iters)
-        return state, losses[-1]
-
-    state, last = run_chain(state, b)  # compile + warm
-    float(last)
+    state, packed = multi(state, sb)  # compile + warm
+    float(packed[-1, 0])
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        state, last = run_chain(state, b)
-        float(last)  # true device barrier: value fetch
+        for _ in range(calls):
+            state, packed = multi(state, sb)  # async dispatch
+        float(packed[-1, 0])  # true device barrier: value fetch
         times.append(time.perf_counter() - t0)
     dt = min(times)
-    audio_seconds = batch * seconds_per_utt * iters
+    audio_seconds = batch * seconds_per_utt * steps_per_call * calls
     return audio_seconds / dt
 
 
@@ -172,14 +191,21 @@ def bench_trainer_real_loop(
         ),
         data=DataConfig(audio_save_path=os.path.join(root, "denoise")),
     )
+    # Native (GIL-free C++) decode path at 4 workers: the python path
+    # collapses under GIL contention beyond ~4 workers and peaks below
+    # the step's consumption rate (PERF_NOTES.md input-pipeline table);
+    # production configs set [data] use_native for the same reason.
+    from fullycnnspeechenhancement_tpu.data import native as _native
+
     ds = SpeechDataset(
         os.path.join(root, "manifest.clean"),
         os.path.join(root, "manifest.noise"),
         sr,
         seed=0,
+        use_native=_native.native_available(),
     )
     loader = DataLoader(
-        ds, config.dsp, batch, shuffle=True, num_workers=8, prefetch=4, seed=0
+        ds, config.dsp, batch, shuffle=True, num_workers=4, prefetch=4, seed=0
     )
     trainer = Trainer(config)
     trainer.train(loader, epochs=1)  # warmup: compiles + cache warm
@@ -196,10 +222,12 @@ def bench_trainer_real_loop(
 
 def bench_infer(batch=64, seconds_per_utt=8.0, iters=20, repeats=3, fused=False):
     """Full denoise pipeline on device (STFT analysis, V2 forward,
-    waveform rebuild), chained in one jitted scan; carry perturbation
-    keeps iterations sequential so XLA cannot hoist the loop-invariant
-    body.  `fused=True` serves the forward through the whole-stack
-    Pallas kernel (ops/pallas_rced.py) instead of the XLA blocked path."""
+    waveform rebuild): `iters` asynchronous dispatches of the jitted
+    pipeline (the TPU executes enqueued programs in order, so fetching
+    the last result barriers them all) -- no monster scan to compile
+    (see bench_tpu).  `fused=True` serves the forward through the
+    whole-stack Pallas kernel (ops/pallas_rced.py) instead of the XLA
+    blocked path."""
     import jax
     import jax.numpy as jnp
 
@@ -228,20 +256,17 @@ def bench_infer(batch=64, seconds_per_utt=8.0, iters=20, repeats=3, fused=False)
     lengths = jnp.asarray(lengths)
 
     @jax.jit
-    def chain(wav):
-        def body(c, _):
-            pred, phre, phim = eval_step(params, bn_state, c, lengths)
-            out = reb(pred, phre, phim)
-            return c * (1.0 + 1e-20 * out.sum()), out.sum()
+    def denoise(wav):
+        pred, phre, phim = eval_step(params, bn_state, wav, lengths)
+        return reb(pred, phre, phim).sum()
 
-        c, sums = jax.lax.scan(body, wav, None, length=iters)
-        return sums[-1]
-
-    float(chain(wav))  # compile + warm
+    float(denoise(wav))  # compile + warm
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        float(chain(wav))
+        for _ in range(iters):
+            out = denoise(wav)  # async dispatch; executes in order
+        float(out)  # fetch = barrier for the whole queue
         times.append(time.perf_counter() - t0)
     return batch * seconds_per_utt * iters / min(times)
 
@@ -351,11 +376,15 @@ def smoke():
     print(f"smoke: backend={jax.default_backend()}", flush=True)
     rng = np.random.default_rng(0)
     failures = []
-    # 1. blocked bf16 train step fwd+bwd (routes every inner-layer dW
-    #    through ops/pallas_dw.py when dw_pallas=True).
-    for name, batch, samples in [
-        ("train_blocked_bf16_b64", 64, 64000),
-        ("train_blocked_bf16_b2_short", 2, 8000),
+    # 1. blocked bf16 train step fwd+bwd, both backward modes: the
+    #    default XLA-autodiff path AND the optional Pallas dW kernel
+    #    (dw_pallas=True routes every inner-layer dW through
+    #    ops/pallas_dw.py -- kept compiling even though it is off by
+    #    default, PERF_NOTES.md round 3).
+    for name, batch, samples, dwp in [
+        ("train_blocked_bf16_b64", 64, 64000, False),
+        ("train_blocked_bf16_b64_dw_pallas", 64, 64000, True),
+        ("train_blocked_bf16_b2_short", 2, 8000, False),
     ]:
         try:
             config = Config(
@@ -363,6 +392,7 @@ def smoke():
                     net_work="FullyCNNV2",
                     compute_dtype="bfloat16",
                     blocked_compute=True,
+                    dw_pallas=dwp,
                 ),
                 train=TrainConfig(batch_size=batch, lr=1.5e-3),
             )
@@ -404,8 +434,15 @@ def smoke():
 
 
 def main():
+    import faulthandler
+    import sys
+
     from fullycnnspeechenhancement_tpu.cli import enable_compilation_cache
 
+    # If any section wedges (remote compile service stalls have been
+    # observed to take 30+ min), periodically dump all thread stacks to
+    # stderr so a timed-out run still explains itself.
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
     enable_compilation_cache()
 
     # Every section guarded: one broken path must never zero out the
@@ -415,16 +452,36 @@ def main():
     errors = {}
 
     def _run(name, fn):
+        print(f"bench: {name} ...", file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
         try:
-            return fn()
+            r = fn()
+            print(
+                f"bench: {name} done in {time.perf_counter() - t0:.0f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            return r
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(
+                f"bench: {name} FAILED: {errors[name]}",
+                file=sys.stderr,
+                flush=True,
+            )
             return None
 
     scanned = _run("train_scanned", bench_tpu)
     real = _run("train_loop", bench_trainer_real_loop)
     infer = _run("infer", bench_infer)
-    infer_fused = _run("infer_fused", lambda: bench_infer(fused=True))
+    # Fused path at a reduced shape: the whole-stack Mosaic kernel at
+    # batch 64 x 8 s takes the remote compile service 30+ min (measured),
+    # which would eat the whole bench budget; batch 16 x 4 s compiles in
+    # minutes and still measures the kernel's serving rate.
+    infer_fused = _run(
+        "infer_fused",
+        lambda: bench_infer(batch=16, seconds_per_utt=4.0, iters=40, fused=True),
+    )
     baseline = _run("baseline", bench_torch_cpu_baseline)
     # Headline metric: the REAL Trainer.train loop (the number a user's
     # training run actually sees); the scanned device-only chain is the

@@ -104,11 +104,15 @@ class ModelConfig:
     # Frequency bins folded per block (see models/blocked.py FB_DEFAULT's
     # measured sweep; 8 is the v5e sweet spot).
     blocked_fb: int = 8
-    # Route the blocked inner freq-convs' weight gradient through the
-    # single-HBM-pass Pallas kernel (ops/pallas_dw.py) on TPU.  False
-    # falls back to the einsum dW (identical math) -- the escape hatch if
-    # Mosaic rejects a new shape.  Only consulted when blocked_compute.
-    dw_pallas: bool = True
+    # Route the blocked inner freq-convs through a custom VJP whose dW is
+    # the single-HBM-pass Pallas kernel (ops/pallas_dw.py).  MEASURED
+    # SLOWER than XLA's own conv autodiff on v5e (131.8 vs 79.4 ms for
+    # the batch-64 bf16 V2 step: splitting the backward out of XLA's
+    # fused grad costs more than the kernel's one-pass dW saves --
+    # benchmarks/PERF_NOTES.md round 3), so the default is False = plain
+    # conv + XLA autodiff.  Kept as an option for kernel study; only
+    # consulted when blocked_compute.
+    dw_pallas: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -238,7 +242,7 @@ def load_ini_config(path: str) -> Config:
             _get(cp, "model", "blocked_compute", "False")
         ).lower() in ("1", "true", "yes"),
         blocked_fb=int(_get(cp, "model", "blocked_fb", 8)),
-        dw_pallas=str(_get(cp, "model", "dw_pallas", "True")).lower()
+        dw_pallas=str(_get(cp, "model", "dw_pallas", "False")).lower()
         in ("1", "true", "yes"),
     )
 

@@ -123,7 +123,7 @@ def apply_blocked(
     fb: int = FB_DEFAULT,
     precision=None,
     frame_mask=None,
-    dw_pallas: bool = True,
+    dw_pallas: bool = False,
 ):
     """Drop-in equivalent of `ModelDef.apply` on NHWC [B, T, F, 1].
 
@@ -176,13 +176,14 @@ def apply_blocked(
 
         wb, dc = _block_weight(p["w"], fb)
         kb = wb.shape[1]
-        if kh == 1:
-            # Inner freq-conv: custom backward -- dW runs one HBM pass in
-            # a Pallas kernel on TPU instead of XLA's ~5-pass grad-conv
-            # (31 -> ~7 ms of the batch-64 V2 step; ops/pallas_dw.py).
-            # `dw_pallas=False` (config model.dw_pallas) falls back to the
-            # einsum dW -- the escape hatch if Mosaic rejects a shape.
-            y = blocked_freq_conv(z, wb.astype(x.dtype), dc, precision, dw_pallas)
+        if kh == 1 and dw_pallas:
+            # Optional custom backward: dW runs one HBM pass in a Pallas
+            # kernel (ops/pallas_dw.py).  Measured SLOWER than XLA's own
+            # fused conv autodiff on v5e (131.8 vs 79.4 ms per batch-64
+            # bf16 V2 step -- PERF_NOTES.md round 3), hence off by
+            # default; the plain conv below lets XLA emit its fused
+            # backward.
+            y = blocked_freq_conv(z, wb.astype(x.dtype), dc, precision, True)
         else:
             y = jax.lax.conv_general_dilated(
                 z,

@@ -126,7 +126,9 @@ def test_blocked_model_grads_unchanged_by_custom_vjp():
     x = jnp.asarray(rng.standard_normal((2, 12, 129, 1)).astype(np.float32))
 
     def loss_custom(p):
-        y, _ = blk.apply_blocked(model, p, bn_state, x, is_training=True)
+        y, _ = blk.apply_blocked(
+            model, p, bn_state, x, is_training=True, dw_pallas=True
+        )
         return jnp.sum(jnp.square(y))
 
     gcus = jax.grad(loss_custom)(params)
