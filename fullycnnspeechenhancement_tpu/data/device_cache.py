@@ -1,0 +1,383 @@
+"""Device-resident corpus cache + on-device SNR mixing.
+
+The TPU-native answer to the input-pipeline bottleneck: at 8 kHz a
+host-fed training loop must stream 32 kB of waveform per audio-second
+(mix + clean, f32) across the host->device link, which caps throughput
+at link bandwidth -- measured at ~45 MB/s through this environment's
+remote tunnel, i.e. ~1,400 audio-s/s against a 6,400 audio-s/s device
+step (benchmarks/PERF_NOTES.md round 3).  This module instead commits
+the int16 PCM corpora to HBM ONCE and reconstructs every training batch
+on device from ~1 kB of per-batch metadata:
+
+    mix[b, n] = clean_flat[off_c[b] + n] / 32768
+              + scale[b] * noise_flat[off_n[b] + n] / 32768
+
+HBM cost: 16 kB per corpus audio-second (int16) -- aishell_1's 150 h
+train split is ~8.6 GB against v5e's 16 GB, and any noise corpus is
+negligible.  `estimate_bytes` reports the footprint before committing.
+
+Behavioural contract: identical to the host loader's mixing
+(data/mixing.py, reference `data_utils/data_loader.py:35-52`) for the
+random-crop branch (noise recording >= utterance, the normal case for
+real noise corpora) and for pre-mixed pair manifests; int16 PCM sources
+round-trip bit-exactly (read_wav scales int16/32768; the cache stores
+the same int16).  The tile-short-noise-with-random-gains branch is NOT
+representable as a device slice -- build() raises for such pairs and
+the host DataLoader remains the path for short-noise corpora.  The SNR
+scale is computed host-side from the exact cached samples with the same
+f64 power accumulation and the same seeded RNG draws as the host path,
+so loader mode and cache mode produce the same batches up to one f32
+rounding (host mixes in f64-then-casts; device mixes in f32).
+
+The reference has no device-side data path at all (joblib decode into
+feed_dict, `data_utils/data_loader.py:192-225`).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from fullycnnspeechenhancement_tpu.config import DataConfig, DSPConfig
+from fullycnnspeechenhancement_tpu.data.audio_io import read_wav
+from fullycnnspeechenhancement_tpu.data.manifest import (
+    ManifestEntry,
+    read_manifest,
+    shard_for_host,
+)
+
+
+def _to_i16(wav: np.ndarray) -> np.ndarray:
+    """float32 [-1, 1] -> int16.  Bit-exact inverse of read_wav's int16
+    scaling; resampled/float sources quantize at -96 dBFS (documented)."""
+    return np.clip(
+        np.round(np.asarray(wav, np.float64) * 32768.0), -32768, 32767
+    ).astype(np.int16)
+
+
+class FlatCorpus(NamedTuple):
+    """One corpus as a single int16 buffer (+ zero tail padding)."""
+
+    flat: np.ndarray  # [total + pad] int16
+    offsets: np.ndarray  # [N] int64 start of each entry
+    lengths: np.ndarray  # [N] int64 sample count of each entry
+
+    @classmethod
+    def build(
+        cls,
+        paths: Sequence[str],
+        sample_rate: int,
+        pad_samples: int,
+    ) -> "FlatCorpus":
+        bufs, offsets, lengths = [], [], []
+        pos = 0
+        for p in paths:
+            wav, _ = read_wav(p, sample_rate)
+            i16 = _to_i16(wav)
+            bufs.append(i16)
+            offsets.append(pos)
+            lengths.append(len(i16))
+            pos += len(i16)
+        bufs.append(np.zeros(max(pad_samples, 1), np.int16))
+        return cls(
+            np.concatenate(bufs),
+            np.asarray(offsets, np.int64),
+            np.asarray(lengths, np.int64),
+        )
+
+    def segment(self, i: int) -> np.ndarray:
+        o, n = int(self.offsets[i]), int(self.lengths[i])
+        return self.flat[o : o + n]
+
+
+class CachedBatch(NamedTuple):
+    """Per-batch metadata (the ONLY steady-state host->device traffic)."""
+
+    clean_off: np.ndarray  # [B] int32 offset into the clean flat
+    other_off: np.ndarray  # [B] int32 offset into noise flat (or mix flat)
+    scale: np.ndarray  # [B] float32 SNR noise scale (premixed: unused)
+    lengths: np.ndarray  # [B] int32 true sample counts
+    indices: np.ndarray  # [B] int32 dataset indices
+    bucket_frames: int
+
+
+class DeviceCorpus:
+    """Clean (+ noise | + premixed-mix) corpora committed to the device.
+
+    `clean`, `other` are jax device arrays after `.commit()`; before
+    that they are host numpy (so CPU tests run without transfers).
+    """
+
+    def __init__(
+        self,
+        entries: List[ManifestEntry],
+        noise_entries: Optional[List[ManifestEntry]],
+        sample_rate: int,
+        pad_samples: int,
+        snr_db: float,
+        seed: int,
+    ):
+        self.entries = entries
+        self.sample_rate = sample_rate
+        self.snr_db = snr_db
+        self.seed = seed
+        self.premixed = bool(entries and entries[0].is_premixed)
+        if self.premixed:
+            self.clean_host = FlatCorpus.build(
+                [e.clean_audio_filepath for e in entries],
+                sample_rate,
+                pad_samples,
+            )
+            self.other_host = FlatCorpus.build(
+                [e.mix_audio_filepath for e in entries],
+                sample_rate,
+                pad_samples,
+            )
+            # premixed pairs truncate to the shorter of (clean, mix),
+            # matching SpeechDataset.__getitem__
+            self.item_lengths = np.minimum(
+                self.clean_host.lengths, self.other_host.lengths
+            )
+            self.noise_host = None
+        else:
+            self.clean_host = FlatCorpus.build(
+                [e.audio_filepath for e in entries], sample_rate, pad_samples
+            )
+            self.item_lengths = self.clean_host.lengths.copy()
+            if noise_entries:
+                self.noise_host = FlatCorpus.build(
+                    [e.audio_filepath for e in noise_entries],
+                    sample_rate,
+                    pad_samples,
+                )
+                short = self.noise_host.lengths.min()
+                need = self.item_lengths.max()
+                if short < need:
+                    raise ValueError(
+                        f"device_cache supports the random-crop mixing branch "
+                        f"only: shortest noise recording ({short} samples) is "
+                        f"shorter than the longest utterance ({need}).  Use "
+                        f"the host DataLoader for short-noise corpora, or "
+                        f"concatenate noise clips into longer tracks."
+                    )
+            else:
+                self.noise_host = None
+            self.other_host = self.noise_host
+        self.clean = self.clean_host.flat
+        self.other = (
+            self.other_host.flat
+            if self.other_host is not None
+            else np.zeros(pad_samples, np.int16)
+        )
+
+    def nbytes(self) -> int:
+        return self.clean.nbytes + (
+            self.other.nbytes if self.other is not None else 0
+        )
+
+    def commit(self) -> "DeviceCorpus":
+        """device_put the flats (one-time transfer); idempotent."""
+        self.clean = jax.device_put(jnp.asarray(self.clean))
+        self.other = jax.device_put(jnp.asarray(self.other))
+        return self
+
+    # -- per-item metadata (host side, reference RNG semantics) ----------
+
+    def noise_assignment(self, epoch: int) -> Optional[np.ndarray]:
+        """Same per-epoch pairing draw as SpeechDataset.set_epoch."""
+        if self.noise_host is None:
+            return None
+        rng = np.random.default_rng((self.seed, epoch))
+        return rng.integers(
+            0, len(self.noise_host.lengths), size=len(self.entries)
+        )
+
+    def item_meta(
+        self, index: int, epoch: int, assignment: Optional[np.ndarray]
+    ) -> Tuple[int, int, float]:
+        """-> (clean_off, other_off, scale) for one item, drawing the same
+        seeded RNG sequence as SpeechDataset.__getitem__/mix_at_snr."""
+        co = int(self.clean_host.offsets[index])
+        L = int(self.item_lengths[index])
+        if self.premixed:
+            return co, int(self.other_host.offsets[index]), 0.0
+        if self.noise_host is None:
+            return co, 0, 0.0
+        ni = int(assignment[index])
+        no_base = int(self.noise_host.offsets[ni])
+        n_len = int(self.noise_host.lengths[ni])
+        rng = np.random.default_rng((self.seed, epoch, index))
+        if n_len == L:
+            start = 0  # mix_at_snr's >= branch with zero doublings: no draw
+        else:
+            start = int(rng.integers(0, n_len - L))
+        seg = self.noise_host.flat[no_base + start : no_base + start + L]
+        speech = self.clean_host.segment(index)
+        p_sig = np.sum(
+            np.square(speech.astype(np.float32) / 32768.0, dtype=np.float64)
+        )
+        p_noise = np.sum(
+            np.square(seg.astype(np.float32) / 32768.0, dtype=np.float64)
+        )
+        if p_noise <= 0.0:
+            return co, no_base + start, 0.0
+        scale = np.sqrt(
+            (p_sig / (10.0 ** (self.snr_db / 10.0))) / p_noise
+        )
+        return co, no_base + start, float(scale)
+
+
+def materialize_batch(
+    clean_flat, other_flat, meta: CachedBatch, bucket_samples: int,
+    premixed: bool
+):
+    """Device-side batch reconstruction: [B] metadata -> Batch waveforms.
+
+    jit-traceable; `bucket_samples`/`premixed` must be static.  All
+    reads are dynamic_slices into the resident int16 flats (no gather);
+    tails past each utterance's true length are zero-masked, matching
+    the host collate's zero padding.
+    """
+    n = jnp.arange(bucket_samples, dtype=jnp.int32)
+
+    def one(co, oo, sc, ln):
+        cl = (
+            jax.lax.dynamic_slice(clean_flat, (co,), (bucket_samples,))
+            .astype(jnp.float32)
+            / 32768.0
+        )
+        ot = (
+            jax.lax.dynamic_slice(other_flat, (oo,), (bucket_samples,))
+            .astype(jnp.float32)
+            / 32768.0
+        )
+        valid = n < ln
+        cl = jnp.where(valid, cl, 0.0)
+        ot = jnp.where(valid, ot, 0.0)
+        mix = ot if premixed else cl + sc * ot
+        return mix, cl
+
+    mix, clean = jax.vmap(one)(
+        meta.clean_off, meta.other_off, meta.scale, meta.lengths
+    )
+    return mix, clean
+
+
+class DeviceCacheLoader:
+    """Bucketed metadata loader over a DeviceCorpus.
+
+    Duck-types the DataLoader surface the Trainer uses (set_epoch,
+    __len__, __iter__) but yields CachedBatch metadata instead of
+    waveforms.  Bucketing uses the EXACT decoded lengths (the host
+    loader buckets on manifest durations); batches are static-size with
+    the same repeat-tail padding as BucketSampler.
+    """
+
+    def __init__(
+        self,
+        corpus: DeviceCorpus,
+        dsp: DSPConfig,
+        batch_size: int,
+        bucket_frames: Sequence[int] = (64, 128, 192, 256, 384, 512, 768, 1024),
+        shuffle: bool = True,
+        seed: int = 0,
+    ):
+        self.corpus = corpus
+        self.dsp = dsp
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.boundaries = sorted(bucket_frames)
+        self._frames = [
+            dsp.num_frames(int(n)) for n in corpus.item_lengths
+        ]
+        self._epoch = 0
+
+    def bucket_for(self, frames: int) -> int:
+        for b in self.boundaries:
+            if frames <= b:
+                return b
+        top = self.boundaries[-1]
+        return ((frames + top - 1) // top) * top
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _plan(self, epoch: int):
+        rng = np.random.default_rng((self.seed, epoch))
+        order = np.arange(len(self._frames))
+        if self.shuffle:
+            rng.shuffle(order)
+        by_bucket: dict = {}
+        for i in order:
+            by_bucket.setdefault(
+                self.bucket_for(self._frames[i]), []
+            ).append(int(i))
+        out = []
+        for bucket, idxs in sorted(by_bucket.items()):
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start : start + self.batch_size]
+                while len(chunk) < self.batch_size:
+                    chunk = chunk + chunk[: self.batch_size - len(chunk)]
+                out.append((bucket, chunk))
+        if self.shuffle:
+            rng.shuffle(out)
+        return out
+
+    def __len__(self) -> int:
+        return len(self._plan(0))
+
+    def pad_len(self, bucket_frames: int) -> int:
+        return self.dsp.padded_samples(bucket_frames)
+
+    def __iter__(self):
+        assignment = self.corpus.noise_assignment(self._epoch)
+        for bucket, idxs in self._plan(self._epoch):
+            B = len(idxs)
+            co = np.zeros(B, np.int32)
+            oo = np.zeros(B, np.int32)
+            sc = np.zeros(B, np.float32)
+            ln = np.zeros(B, np.int32)
+            for j, i in enumerate(idxs):
+                c, o, s = self.corpus.item_meta(i, self._epoch, assignment)
+                co[j], oo[j], sc[j] = c, o, s
+                ln[j] = int(self.corpus.item_lengths[i])
+            yield CachedBatch(
+                co, oo, sc, ln, np.asarray(idxs, np.int32), bucket
+            )
+
+
+def build_device_corpus(
+    manifest_path: str,
+    noise_manifest: Optional[str],
+    dsp: DSPConfig,
+    data: Optional[DataConfig] = None,
+    host_index: int = 0,
+    host_count: int = 1,
+    max_bucket_frames: int = 1024,
+    commit: bool = True,
+) -> DeviceCorpus:
+    """Read manifests (host-sharded), build + (optionally) commit flats."""
+    min_d = data.min_duration if data else 0.4
+    max_d = data.max_duration if data else float("inf")
+    snr = data.snr if data else 0.0
+    seed = data.seed if data else 0
+    entries = shard_for_host(
+        read_manifest(manifest_path, min_d, max_d), host_index, host_count
+    )
+    noise_entries = (
+        read_manifest(noise_manifest) if noise_manifest else None
+    )
+    corpus = DeviceCorpus(
+        entries,
+        noise_entries,
+        dsp.sample_rate,
+        pad_samples=dsp.padded_samples(max_bucket_frames),
+        snr_db=snr,
+        seed=seed,
+    )
+    return corpus.commit() if commit else corpus
