@@ -21,19 +21,48 @@ def build_loaders(config: Config, num_workers: int):
     from fullycnnspeechenhancement_tpu.parallel import multihost
 
     hi, hc = multihost.host_index(), multihost.host_count()
-    train_ds = SpeechDataset.from_config(
-        config.data, config.dsp, "train", host_index=hi, host_count=hc
-    )
-    train_loader = DataLoader(
-        train_ds,
-        config.dsp,
-        config.train.batch_size,
-        bucket_frames=config.data.bucket_frames,
-        shuffle=True,
-        num_workers=num_workers,
-        prefetch=config.data.prefetch_batches,
-        seed=config.data.seed,
-    )
+    if config.data.use_device_cache:
+        # Device-resident corpus + on-device mixing: the Trainer commits
+        # the flats and fuses batch materialization into the train step
+        # (steady-state H2D = [B] metadata).  The corpus build decodes the
+        # full (host-sharded) corpus once up front.
+        from fullycnnspeechenhancement_tpu.data.device_cache import (
+            DeviceCacheLoader,
+            build_device_corpus,
+        )
+
+        corpus = build_device_corpus(
+            config.data.train_manifest_path,
+            config.data.train_noise_manifest,
+            config.dsp,
+            config.data,
+            host_index=hi,
+            host_count=hc,
+            max_bucket_frames=max(config.data.bucket_frames),
+            commit=False,  # Trainer commits with the mesh-aware placement
+        )
+        train_loader = DeviceCacheLoader(
+            corpus,
+            config.dsp,
+            config.train.batch_size,
+            bucket_frames=config.data.bucket_frames,
+            shuffle=True,
+            seed=config.data.seed,
+        )
+    else:
+        train_ds = SpeechDataset.from_config(
+            config.data, config.dsp, "train", host_index=hi, host_count=hc
+        )
+        train_loader = DataLoader(
+            train_ds,
+            config.dsp,
+            config.train.batch_size,
+            bucket_frames=config.data.bucket_frames,
+            shuffle=True,
+            num_workers=num_workers,
+            prefetch=config.data.prefetch_batches,
+            seed=config.data.seed,
+        )
     val_loader = None
     if config.data.val_manifest_path:
         val_ds = SpeechDataset.from_config(config.data, config.dsp, "val")

@@ -172,6 +172,17 @@ class DataConfig:
     # is masked/ignored per `TrainConfig.mask_loss`.
     bucket_frames: tuple = (64, 128, 192, 256, 384, 512, 768, 1024)
     seed: int = 0
+    # Commit the training corpora to device HBM as int16 flats and mix
+    # batches ON DEVICE (data/device_cache.py): steady-state host->device
+    # traffic drops from [B, L] waveforms to [B] metadata, removing the
+    # host-link ceiling on training throughput.  Requires the corpus to
+    # fit HBM (~16 kB per audio-second) and the random-crop mixing branch
+    # (noise recordings >= utterances); falls back loudly otherwise.
+    use_device_cache: bool = False
+    # Ship host-loader waveforms as int16 and cast on device: halves the
+    # host->device bytes for corpora too large for the device cache.
+    # Costs one int16 quantization (-96 dBFS) on float sources.
+    int16_transport: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -284,6 +295,12 @@ def load_ini_config(path: str) -> Config:
         use_native=str(_get(cp, "data", "use_native", "False")).lower()
         in ("1", "true", "yes"),
         seed=int(_get(cp, "data", "seed", 0)),
+        use_device_cache=str(
+            _get(cp, "data", "use_device_cache", "False")
+        ).lower() in ("1", "true", "yes"),
+        int16_transport=str(
+            _get(cp, "data", "int16_transport", "False")
+        ).lower() in ("1", "true", "yes"),
     )
 
     eval_section = "testing" if cp.has_section("testing") else "inference"

@@ -9,25 +9,37 @@ step (benchmarks/PERF_NOTES.md round 3).  This module instead commits
 the int16 PCM corpora to HBM ONCE and reconstructs every training batch
 on device from ~1 kB of per-batch metadata:
 
-    mix[b, n] = clean_flat[off_c[b] + n] / 32768
-              + scale[b] * noise_flat[off_n[b] + n] / 32768
+    mix[b, n] = clean[chunk_c[b], off_c[b] + n] / 32768
+              + scale[b] * noise[chunk_n[b], off_n[b] + n] / 32768
+
+Addressing is CHUNKED: a corpus is stored as a 2-D int16 array
+``[n_chunks, chunk_len]`` and every item carries an ``(chunk, offset)``
+int32 pair.  JAX device integers are int32 unless the global x64 flag is
+flipped, so a flat 1-D layout silently wraps at 2^31 samples (~74.5 h of
+8 kHz audio) -- below aishell_1's 150 h train split, this module's
+stated design point.  Chunk rows stay under ``chunk_limit`` samples
+(default 2^30), so offsets are always int32-safe and capacity scales to
+HBM size, not to an index-dtype ceiling.
 
 HBM cost: 16 kB per corpus audio-second (int16) -- aishell_1's 150 h
 train split is ~8.6 GB against v5e's 16 GB, and any noise corpus is
-negligible.  `estimate_bytes` reports the footprint before committing.
+negligible.  `DeviceCorpus.nbytes()` reports the footprint before
+committing.
 
-Behavioural contract: identical to the host loader's mixing
-(data/mixing.py, reference `data_utils/data_loader.py:35-52`) for the
-random-crop branch (noise recording >= utterance, the normal case for
-real noise corpora) and for pre-mixed pair manifests; int16 PCM sources
-round-trip bit-exactly (read_wav scales int16/32768; the cache stores
-the same int16).  The tile-short-noise-with-random-gains branch is NOT
-representable as a device slice -- build() raises for such pairs and
-the host DataLoader remains the path for short-noise corpora.  The SNR
-scale is computed host-side from the exact cached samples with the same
-f64 power accumulation and the same seeded RNG draws as the host path,
-so loader mode and cache mode produce the same batches up to one f32
-rounding (host mixes in f64-then-casts; device mixes in f32).
+Behavioural contract (asserted by tests/test_device_cache.py): batches
+are identical to the host loader's (data/loader.py DataLoader) up to
+one f32 rounding -- the host mixes ``speech + scale * noise`` through a
+float64 scale promotion then casts, the device computes it in f32.
+Specifically, it matches the host mixing (data/mixing.py, reference
+`data_utils/data_loader.py:35-52`) for the random-crop branch (noise
+recording >= utterance, the normal case for real noise corpora) and for
+pre-mixed pair manifests; int16 PCM sources round-trip bit-exactly
+(read_wav scales int16/32768; the cache stores the same int16).  The
+tile-short-noise-with-random-gains branch is NOT representable as a
+device slice -- build() raises for such pairs and the host DataLoader
+remains the path for short-noise corpora.  The SNR scale is computed
+host-side from the exact cached samples with the same f64 power
+accumulation and the same seeded RNG draws as the host path.
 
 The reference has no device-side data path at all (joblib decode into
 feed_dict, `data_utils/data_loader.py:192-225`).
@@ -50,6 +62,11 @@ from fullycnnspeechenhancement_tpu.data.manifest import (
     shard_for_host,
 )
 
+# Per-chunk sample budget.  2^30 int16 samples = 2 GiB per chunk row and
+# offsets that top out far below int32 range even after adding a bucket
+# length.  Tests shrink this to exercise multi-chunk packing cheaply.
+CHUNK_LIMIT_DEFAULT = 1 << 30
+
 
 def _to_i16(wav: np.ndarray) -> np.ndarray:
     """float32 [-1, 1] -> int16.  Bit-exact inverse of read_wav's int16
@@ -60,11 +77,20 @@ def _to_i16(wav: np.ndarray) -> np.ndarray:
 
 
 class FlatCorpus(NamedTuple):
-    """One corpus as a single int16 buffer (+ zero tail padding)."""
+    """One corpus as chunked int16 rows (each row zero-tail-padded).
 
-    flat: np.ndarray  # [total + pad] int16
-    offsets: np.ndarray  # [N] int64 start of each entry
+    ``flat[chunks[i], offsets[i] : offsets[i] + lengths[i]]`` is entry i.
+    Every row ends with >= ``pad`` zeros, so a device slice of up to
+    ``lengths[i] + pad`` samples starting at any entry never clamps (and
+    past-end samples are zero until the next entry begins mid-row; the
+    consumer masks to the true length anyway).
+    """
+
+    flat: np.ndarray  # [n_chunks, chunk_len] int16
+    chunks: np.ndarray  # [N] int32 row of each entry
+    offsets: np.ndarray  # [N] int32 start within its row
     lengths: np.ndarray  # [N] int64 sample count of each entry
+    pad: int  # guaranteed zero tail per row, in samples
 
     @classmethod
     def build(
@@ -72,33 +98,58 @@ class FlatCorpus(NamedTuple):
         paths: Sequence[str],
         sample_rate: int,
         pad_samples: int,
+        chunk_limit: int = CHUNK_LIMIT_DEFAULT,
     ) -> "FlatCorpus":
-        bufs, offsets, lengths = [], [], []
-        pos = 0
+        pad = max(int(pad_samples), 1)
+        if chunk_limit <= pad:
+            raise ValueError(
+                f"chunk_limit ({chunk_limit}) must exceed the tail pad "
+                f"({pad})"
+            )
+        bufs: List[np.ndarray] = []
         for p in paths:
             wav, _ = read_wav(p, sample_rate)
             i16 = _to_i16(wav)
+            if len(i16) + pad > chunk_limit:
+                raise ValueError(
+                    f"single recording {p} ({len(i16)} samples) exceeds the "
+                    f"chunk budget ({chunk_limit - pad}); raise chunk_limit"
+                )
             bufs.append(i16)
-            offsets.append(pos)
-            lengths.append(len(i16))
-            pos += len(i16)
-        bufs.append(np.zeros(max(pad_samples, 1), np.int16))
-        return cls(
-            np.concatenate(bufs),
-            np.asarray(offsets, np.int64),
-            np.asarray(lengths, np.int64),
-        )
+        # Greedy row packing under the chunk budget (entries never split).
+        chunks = np.zeros(len(bufs), np.int32)
+        offsets = np.zeros(len(bufs), np.int32)
+        lengths = np.asarray([len(b) for b in bufs], np.int64)
+        row, pos, fills = 0, 0, []
+        for i, b in enumerate(bufs):
+            if pos + len(b) + pad > chunk_limit:
+                fills.append(pos)
+                row, pos = row + 1, 0
+            chunks[i], offsets[i] = row, pos
+            pos += len(b)
+        fills.append(pos)
+        chunk_len = max(f + pad for f in fills)
+        flat = np.zeros((len(fills), chunk_len), np.int16)
+        for i, b in enumerate(bufs):
+            flat[chunks[i], offsets[i] : offsets[i] + len(b)] = b
+        return cls(flat, chunks, offsets, lengths, pad)
 
     def segment(self, i: int) -> np.ndarray:
-        o, n = int(self.offsets[i]), int(self.lengths[i])
-        return self.flat[o : o + n]
+        c, o, n = int(self.chunks[i]), int(self.offsets[i]), int(self.lengths[i])
+        return self.flat[c, o : o + n]
 
 
 class CachedBatch(NamedTuple):
-    """Per-batch metadata (the ONLY steady-state host->device traffic)."""
+    """Per-batch metadata (the ONLY steady-state host->device traffic).
 
-    clean_off: np.ndarray  # [B] int32 offset into the clean flat
-    other_off: np.ndarray  # [B] int32 offset into noise flat (or mix flat)
+    All index fields are int32 by design: chunked addressing keeps every
+    offset < chunk_limit regardless of total corpus size, so the batch
+    rides to device without x64 mode (see module docstring)."""
+
+    clean_chunk: np.ndarray  # [B] int32 row into the clean flat
+    clean_off: np.ndarray  # [B] int32 offset within that row
+    other_chunk: np.ndarray  # [B] int32 row into noise flat (or mix flat)
+    other_off: np.ndarray  # [B] int32 offset within that row
     scale: np.ndarray  # [B] float32 SNR noise scale (premixed: unused)
     lengths: np.ndarray  # [B] int32 true sample counts
     indices: np.ndarray  # [B] int32 dataset indices
@@ -120,22 +171,26 @@ class DeviceCorpus:
         pad_samples: int,
         snr_db: float,
         seed: int,
+        chunk_limit: int = CHUNK_LIMIT_DEFAULT,
     ):
         self.entries = entries
         self.sample_rate = sample_rate
         self.snr_db = snr_db
         self.seed = seed
+        self.pad_samples = max(int(pad_samples), 1)
         self.premixed = bool(entries and entries[0].is_premixed)
         if self.premixed:
             self.clean_host = FlatCorpus.build(
                 [e.clean_audio_filepath for e in entries],
                 sample_rate,
-                pad_samples,
+                self.pad_samples,
+                chunk_limit,
             )
             self.other_host = FlatCorpus.build(
                 [e.mix_audio_filepath for e in entries],
                 sample_rate,
-                pad_samples,
+                self.pad_samples,
+                chunk_limit,
             )
             # premixed pairs truncate to the shorter of (clean, mix),
             # matching SpeechDataset.__getitem__
@@ -145,14 +200,18 @@ class DeviceCorpus:
             self.noise_host = None
         else:
             self.clean_host = FlatCorpus.build(
-                [e.audio_filepath for e in entries], sample_rate, pad_samples
+                [e.audio_filepath for e in entries],
+                sample_rate,
+                self.pad_samples,
+                chunk_limit,
             )
             self.item_lengths = self.clean_host.lengths.copy()
             if noise_entries:
                 self.noise_host = FlatCorpus.build(
                     [e.audio_filepath for e in noise_entries],
                     sample_rate,
-                    pad_samples,
+                    self.pad_samples,
+                    chunk_limit,
                 )
                 short = self.noise_host.lengths.min()
                 need = self.item_lengths.max()
@@ -171,7 +230,7 @@ class DeviceCorpus:
         self.other = (
             self.other_host.flat
             if self.other_host is not None
-            else np.zeros(pad_samples, np.int16)
+            else np.zeros((1, self.pad_samples), np.int16)
         )
 
     def nbytes(self) -> int:
@@ -179,10 +238,19 @@ class DeviceCorpus:
             self.other.nbytes if self.other is not None else 0
         )
 
-    def commit(self) -> "DeviceCorpus":
-        """device_put the flats (one-time transfer); idempotent."""
-        self.clean = jax.device_put(jnp.asarray(self.clean))
-        self.other = jax.device_put(jnp.asarray(self.other))
+    def commit(self, sharding=None) -> "DeviceCorpus":
+        """device_put the flats (one-time transfer); idempotent.
+
+        `sharding` places the flats under an explicit jax sharding --
+        pass a replicated NamedSharding (parallel.dp.replicate(mesh)) so
+        the cached DP train step sees mesh-resident operands and XLA
+        SPMD needs no resharding at step time."""
+        if sharding is not None:
+            self.clean = jax.device_put(jnp.asarray(self.clean), sharding)
+            self.other = jax.device_put(jnp.asarray(self.other), sharding)
+        else:
+            self.clean = jax.device_put(jnp.asarray(self.clean))
+            self.other = jax.device_put(jnp.asarray(self.other))
         return self
 
     # -- per-item metadata (host side, reference RNG semantics) ----------
@@ -198,16 +266,25 @@ class DeviceCorpus:
 
     def item_meta(
         self, index: int, epoch: int, assignment: Optional[np.ndarray]
-    ) -> Tuple[int, int, float]:
-        """-> (clean_off, other_off, scale) for one item, drawing the same
-        seeded RNG sequence as SpeechDataset.__getitem__/mix_at_snr."""
+    ) -> Tuple[int, int, int, int, float]:
+        """-> (clean_chunk, clean_off, other_chunk, other_off, scale) for
+        one item, drawing the same seeded RNG sequence as
+        SpeechDataset.__getitem__/mix_at_snr."""
+        cc = int(self.clean_host.chunks[index])
         co = int(self.clean_host.offsets[index])
         L = int(self.item_lengths[index])
         if self.premixed:
-            return co, int(self.other_host.offsets[index]), 0.0
+            return (
+                cc,
+                co,
+                int(self.other_host.chunks[index]),
+                int(self.other_host.offsets[index]),
+                0.0,
+            )
         if self.noise_host is None:
-            return co, 0, 0.0
+            return cc, co, 0, 0, 0.0
         ni = int(assignment[index])
+        oc = int(self.noise_host.chunks[ni])
         no_base = int(self.noise_host.offsets[ni])
         n_len = int(self.noise_host.lengths[ni])
         rng = np.random.default_rng((self.seed, epoch, index))
@@ -215,7 +292,7 @@ class DeviceCorpus:
             start = 0  # mix_at_snr's >= branch with zero doublings: no draw
         else:
             start = int(rng.integers(0, n_len - L))
-        seg = self.noise_host.flat[no_base + start : no_base + start + L]
+        seg = self.noise_host.flat[oc, no_base + start : no_base + start + L]
         speech = self.clean_host.segment(index)
         p_sig = np.sum(
             np.square(speech.astype(np.float32) / 32768.0, dtype=np.float64)
@@ -224,11 +301,11 @@ class DeviceCorpus:
             np.square(seg.astype(np.float32) / 32768.0, dtype=np.float64)
         )
         if p_noise <= 0.0:
-            return co, no_base + start, 0.0
+            return cc, co, oc, no_base + start, 0.0
         scale = np.sqrt(
             (p_sig / (10.0 ** (self.snr_db / 10.0))) / p_noise
         )
-        return co, no_base + start, float(scale)
+        return cc, co, oc, no_base + start, float(scale)
 
 
 def materialize_batch(
@@ -238,21 +315,25 @@ def materialize_batch(
     """Device-side batch reconstruction: [B] metadata -> Batch waveforms.
 
     jit-traceable; `bucket_samples`/`premixed` must be static.  All
-    reads are dynamic_slices into the resident int16 flats (no gather);
-    tails past each utterance's true length are zero-masked, matching
-    the host collate's zero padding.
-    """
+    reads are 2-D dynamic_slices into the resident int16 chunk rows (no
+    gather); tails past each utterance's true length are zero-masked,
+    matching the host collate's zero padding.  Callers must guarantee
+    ``bucket_samples - length <= corpus.pad_samples`` per item
+    (DeviceCacheLoader validates this at construction) so row-end slices
+    never clamp."""
     n = jnp.arange(bucket_samples, dtype=jnp.int32)
 
-    def one(co, oo, sc, ln):
+    def one(cc, co, oc, oo, sc, ln):
         cl = (
-            jax.lax.dynamic_slice(clean_flat, (co,), (bucket_samples,))
-            .astype(jnp.float32)
+            jax.lax.dynamic_slice(
+                clean_flat, (cc, co), (1, bucket_samples)
+            )[0].astype(jnp.float32)
             / 32768.0
         )
         ot = (
-            jax.lax.dynamic_slice(other_flat, (oo,), (bucket_samples,))
-            .astype(jnp.float32)
+            jax.lax.dynamic_slice(
+                other_flat, (oc, oo), (1, bucket_samples)
+            )[0].astype(jnp.float32)
             / 32768.0
         )
         valid = n < ln
@@ -262,7 +343,12 @@ def materialize_batch(
         return mix, cl
 
     mix, clean = jax.vmap(one)(
-        meta.clean_off, meta.other_off, meta.scale, meta.lengths
+        meta.clean_chunk,
+        meta.clean_off,
+        meta.other_chunk,
+        meta.other_off,
+        meta.scale,
+        meta.lengths,
     )
     return mix, clean
 
@@ -295,6 +381,25 @@ class DeviceCacheLoader:
         self._frames = [
             dsp.num_frames(int(n)) for n in corpus.item_lengths
         ]
+        # Row-end overrun guard (ADVICE r3): a device slice reads
+        # bucket_samples from the item's start; the corpus guarantees
+        # only `pad_samples` of slack past each row's last entry, so any
+        # item whose bucket padding exceeds that slack would clamp the
+        # slice start and silently prepend the previous entry's audio.
+        # Refuse loudly instead.
+        worst = 0
+        for f, ln in zip(self._frames, corpus.item_lengths):
+            worst = max(
+                worst, dsp.padded_samples(self.bucket_for(f)) - int(ln)
+            )
+        if worst > corpus.pad_samples:
+            raise ValueError(
+                f"corpus tail pad ({corpus.pad_samples} samples) is smaller "
+                f"than the worst-case bucket slack ({worst}); rebuild the "
+                f"corpus with max_bucket_frames >= "
+                f"{max(self.bucket_for(f) for f in self._frames)} "
+                f"(build_device_corpus sizes the pad from it)"
+            )
         self._epoch = 0
 
     def bucket_for(self, frames: int) -> int:
@@ -338,16 +443,20 @@ class DeviceCacheLoader:
         assignment = self.corpus.noise_assignment(self._epoch)
         for bucket, idxs in self._plan(self._epoch):
             B = len(idxs)
-            co = np.zeros(B, np.int32)
-            oo = np.zeros(B, np.int32)
+            ccs = np.zeros(B, np.int32)
+            cos = np.zeros(B, np.int32)
+            ocs = np.zeros(B, np.int32)
+            oos = np.zeros(B, np.int32)
             sc = np.zeros(B, np.float32)
             ln = np.zeros(B, np.int32)
             for j, i in enumerate(idxs):
-                c, o, s = self.corpus.item_meta(i, self._epoch, assignment)
-                co[j], oo[j], sc[j] = c, o, s
+                cc, co, oc, oo, s = self.corpus.item_meta(
+                    i, self._epoch, assignment
+                )
+                ccs[j], cos[j], ocs[j], oos[j], sc[j] = cc, co, oc, oo, s
                 ln[j] = int(self.corpus.item_lengths[i])
             yield CachedBatch(
-                co, oo, sc, ln, np.asarray(idxs, np.int32), bucket
+                ccs, cos, ocs, oos, sc, ln, np.asarray(idxs, np.int32), bucket
             )
 
 
@@ -360,6 +469,8 @@ def build_device_corpus(
     host_count: int = 1,
     max_bucket_frames: int = 1024,
     commit: bool = True,
+    sharding=None,
+    chunk_limit: int = CHUNK_LIMIT_DEFAULT,
 ) -> DeviceCorpus:
     """Read manifests (host-sharded), build + (optionally) commit flats."""
     min_d = data.min_duration if data else 0.4
@@ -379,5 +490,6 @@ def build_device_corpus(
         pad_samples=dsp.padded_samples(max_bucket_frames),
         snr_db=snr,
         seed=seed,
+        chunk_limit=chunk_limit,
     )
-    return corpus.commit() if commit else corpus
+    return corpus.commit(sharding) if commit else corpus

@@ -13,9 +13,13 @@ from fullycnnspeechenhancement_tpu.parallel.mesh import (  # noqa: F401
     MODEL_AXIS,
 )
 from fullycnnspeechenhancement_tpu.parallel.dp import (  # noqa: F401
+    make_parallel_cached_multi_step,
+    make_parallel_cached_step,
     make_parallel_multi_step,
     make_parallel_train_step,
     shard_batch,
+    shard_meta,
     shard_stacked_batch,
+    shard_stacked_meta,
     replicate,
 )

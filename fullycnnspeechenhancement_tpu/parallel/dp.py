@@ -24,6 +24,11 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from fullycnnspeechenhancement_tpu.config import Config
 from fullycnnspeechenhancement_tpu.models.rced import ModelDef
 from fullycnnspeechenhancement_tpu.parallel.mesh import DATA_AXIS
+from fullycnnspeechenhancement_tpu.train.cached_step import (
+    Meta,
+    make_cached_multi_step,
+    make_cached_train_step,
+)
 from fullycnnspeechenhancement_tpu.train.step import (
     Batch,
     make_multi_step,
@@ -98,6 +103,69 @@ def make_parallel_multi_step(config: Config, model: ModelDef, mesh):
     return jax.jit(
         multi,
         in_shardings=(repl, Batch(bsh, bsh, bsh)),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+# ---- device-cache path (data/device_cache.py + train/cached_step.py) ----
+#
+# The int16 corpus flats REPLICATE over the mesh (every device holds the
+# whole corpus; per-device HBM budget permitting, this is the simplest
+# correct layout and keeps materialization collective-free: each device
+# slices only the metadata rows it owns).  Metadata shards over 'data'
+# exactly like waveform batches.
+
+
+def shard_meta(mesh, meta: Meta) -> Meta:
+    sh = batch_sharding(mesh)
+    return Meta(*(jax.device_put(x, sh) for x in meta))
+
+
+def shard_stacked_meta(mesh, meta: Meta) -> Meta:
+    sh = stacked_batch_sharding(mesh)
+    return Meta(*(jax.device_put(x, sh) for x in meta))
+
+
+def _check_divisible(config: Config, mesh) -> None:
+    n_data = mesh.shape[DATA_AXIS]
+    if config.train.batch_size % n_data:
+        raise ValueError(
+            f"global batch {config.train.batch_size} not divisible by "
+            f"data-parallel degree {n_data}"
+        )
+
+
+def make_parallel_cached_step(
+    config: Config, model: ModelDef, mesh, bucket_samples: int, premixed: bool
+):
+    """jit-compiled DP cached train step: state + corpus flats replicated,
+    [B] metadata sharded over 'data'; batch materialization happens inside
+    the same SPMD program as the step."""
+    _check_divisible(config, mesh)
+    step = make_cached_train_step(config, model, bucket_samples, premixed)
+    repl = replicate(mesh)
+    msh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, Meta(*([msh] * 6))),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_parallel_cached_multi_step(
+    config: Config, model: ModelDef, mesh, bucket_samples: int, premixed: bool
+):
+    """DP cached multi-step: scans K cached steps in one device call;
+    metadata leaves are [K, B] (scan axis replicated, batch sharded)."""
+    _check_divisible(config, mesh)
+    multi = make_cached_multi_step(config, model, bucket_samples, premixed)
+    repl = replicate(mesh)
+    msh = stacked_batch_sharding(mesh)
+    return jax.jit(
+        multi,
+        in_shardings=(repl, repl, repl, Meta(*([msh] * 6))),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

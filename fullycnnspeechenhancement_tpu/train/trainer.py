@@ -35,18 +35,35 @@ import jax.numpy as jnp
 import numpy as np
 
 from fullycnnspeechenhancement_tpu.config import Config
+from fullycnnspeechenhancement_tpu.data.device_cache import (
+    CachedBatch,
+    DeviceCacheLoader,
+)
 from fullycnnspeechenhancement_tpu.data.loader import DataLoader, LoaderBatch
 from fullycnnspeechenhancement_tpu.eval.evaluator import Evaluator
 from fullycnnspeechenhancement_tpu.eval.metrics import AverageMeter
 from fullycnnspeechenhancement_tpu.models import get_model
 from fullycnnspeechenhancement_tpu.parallel import (
     make_mesh,
+    make_parallel_cached_multi_step,
+    make_parallel_cached_step,
     make_parallel_multi_step,
     make_parallel_train_step,
+    replicate,
     shard_batch,
+    shard_meta,
     shard_stacked_batch,
+    shard_stacked_meta,
 )
-from fullycnnspeechenhancement_tpu.train.checkpoint import CheckpointManager
+from fullycnnspeechenhancement_tpu.train.cached_step import (
+    Meta,
+    make_cached_multi_step,
+    make_cached_train_step,
+)
+from fullycnnspeechenhancement_tpu.train.checkpoint import (
+    CheckpointManager,
+    import_reference_npz,
+)
 from fullycnnspeechenhancement_tpu.train.profiling import StepProfiler
 from fullycnnspeechenhancement_tpu.train.step import (
     Batch,
@@ -88,6 +105,10 @@ class Trainer:
         else:
             self._multi_step = None
 
+        self._cached_fns: dict = {}
+        self._cached_premixed = False
+        self._cached_flats = None
+
         self.state = create_train_state(
             config, self.model, jax.random.PRNGKey(config.train.seed)
         )
@@ -97,7 +118,11 @@ class Trainer:
             max_to_keep=config.train.max_checkpoints_to_keep,
         )
         self.start_epoch = 0
-        if config.train.continue_train:
+        if config.train.base_checkpoint_file:
+            # Warm start from an EXPLICIT checkpoint, taking priority over
+            # resume-from-latest (reference trainer.py:52-53 semantics).
+            self._warm_start(config.train.base_checkpoint_file)
+        elif config.train.continue_train:
             restored, epoch = self.ckpt.restore(self.state)
             if restored is not None:
                 self.state = restored
@@ -126,6 +151,102 @@ class Trainer:
         )
         param_count = self.model.param_count()
         logger.info("model %s: %d parameters", self.run_name, param_count)
+
+    def _warm_start(self, path: str) -> None:
+        """Initialise params (+BN stats) from an explicit checkpoint:
+        a `.npz` in the TF-name bridge layout (checkpoint.py), or an
+        orbax run directory, whose latest epoch is loaded.  Training
+        restarts at epoch 0 with fresh optimizer state and step counter
+        (the reference's `base_checkpoint_file`, trainer.py:52-53)."""
+        if path.endswith(".npz"):
+            params, bn_state = import_reference_npz(path, self.model)
+            # npz may omit BN stats (freeze exports fold them); keep the
+            # fresh init for anything missing.
+            merged_bn = dict(self.state.bn_state)
+            merged_bn.update(bn_state)
+            self.state = self.state._replace(
+                params=params, bn_state=merged_bn
+            )
+        elif os.path.isdir(path):
+            mgr = CheckpointManager(
+                os.path.dirname(os.path.abspath(path)),
+                os.path.basename(os.path.abspath(path)),
+            )
+            restored, epoch = mgr.restore(self.state)
+            mgr.close()
+            if restored is None:
+                raise FileNotFoundError(
+                    f"base_checkpoint_file directory {path} contains no "
+                    f"checkpoint epochs"
+                )
+            self.state = self.state._replace(
+                params=restored.params, bn_state=restored.bn_state
+            )
+            logger.info("warm start from %s epoch %d", path, epoch)
+        else:
+            raise FileNotFoundError(
+                f"base_checkpoint_file {path} is neither an .npz bridge "
+                f"file nor an orbax run directory"
+            )
+        logger.info("warm-started params from %s", path)
+
+    # ---- device-cache dispatch (data/device_cache.py) ------------------
+
+    def _cached_fn(self, bucket_frames: int, k: int):
+        """Per-(bucket, K) compiled cached step; built lazily because the
+        bucket's static sample length is only known from the loader."""
+        key = (bucket_frames, k)
+        fn = self._cached_fns.get(key)
+        if fn is None:
+            bucket_samples = self.config.dsp.padded_samples(bucket_frames)
+            premixed = self._cached_premixed
+            if self.mesh is not None:
+                maker = (
+                    make_parallel_cached_step
+                    if k == 1
+                    else make_parallel_cached_multi_step
+                )
+                fn = maker(
+                    self.config, self.model, self.mesh, bucket_samples, premixed
+                )
+            else:
+                maker = (
+                    make_cached_train_step if k == 1 else make_cached_multi_step
+                )
+                fn = jax.jit(
+                    maker(self.config, self.model, bucket_samples, premixed),
+                    donate_argnums=(0,),
+                )
+            self._cached_fns[key] = fn
+        return fn
+
+    def _prepare_cached(self, loader: DeviceCacheLoader) -> None:
+        self._cached_premixed = loader.corpus.premixed
+        # Commit (idempotent) with the right placement: replicated over
+        # the mesh under DP so SPMD sees mesh-resident flats.
+        sharding = replicate(self.mesh) if self.mesh is not None else None
+        loader.corpus.commit(sharding)
+        self._cached_flats = (loader.corpus.clean, loader.corpus.other)
+
+    def _dispatch_cached_single(self, b: CachedBatch, epoch: int) -> None:
+        meta = Meta.from_batch(b)
+        if self.mesh is not None:
+            meta = shard_meta(self.mesh, meta)
+        clean_flat, other_flat = self._cached_flats
+        self.state, metrics = self._cached_fn(b.bucket_frames, 1)(
+            self.state, clean_flat, other_flat, meta
+        )
+        self._note_steps(pack_step_metrics(metrics)[None], 1, epoch)
+
+    def _dispatch_cached_multi(self, bufs: list, epoch: int) -> None:
+        meta = Meta.stack(bufs)
+        if self.mesh is not None:
+            meta = shard_stacked_meta(self.mesh, meta)
+        clean_flat, other_flat = self._cached_flats
+        self.state, packed = self._cached_fn(
+            bufs[0].bucket_frames, len(bufs)
+        )(self.state, clean_flat, other_flat, meta)
+        self._note_steps(packed, len(bufs), epoch)
 
     def _log_scalars(self, **kv):
         with open(self._scalars_path, "a") as f:
@@ -223,6 +344,11 @@ class Trainer:
         epochs = epochs if epochs is not None else cfg.epochs
         K = self._steps_per_call
         flush_every = max(1, cfg.num_iter_print)
+        cached = isinstance(train_loader, DeviceCacheLoader)
+        if cached:
+            self._prepare_cached(train_loader)
+        disp_one = self._dispatch_cached_single if cached else self._dispatch_single
+        disp_multi = self._dispatch_cached_multi if cached else self._dispatch_multi
         n_batches_total = len(train_loader)
         for epoch in range(self.start_epoch, epochs):
             train_loader.set_epoch(epoch)
@@ -231,7 +357,7 @@ class Trainer:
             self._pending = []
             self._steps_since_flush = 0
             self._flush_t0 = time.perf_counter()
-            buffers: dict = {}  # bucket_frames -> [LoaderBatch] (K > 1)
+            buffers: dict = {}  # bucket_frames -> [batches] (K > 1)
             t_data = time.perf_counter()
             for i, b in enumerate(train_loader):
                 self.data_time.update(time.perf_counter() - t_data)
@@ -240,17 +366,17 @@ class Trainer:
                     buf = buffers.setdefault(b.bucket_frames, [])
                     buf.append(b)
                     if len(buf) == K:
-                        self._dispatch_multi(buf, epoch)
+                        disp_multi(buf, epoch)
                         buffers[b.bucket_frames] = []
                 else:
-                    self._dispatch_single(b, epoch)
+                    disp_one(b, epoch)
                 if self._steps_since_flush >= flush_every:
                     self._flush_metrics(log, epoch, i + 1, n_batches_total)
                 t_data = time.perf_counter()
             # Residual same-bucket groups smaller than K run one at a time.
             for buf in buffers.values():
                 for b in buf:
-                    self._dispatch_single(b, epoch)
+                    disp_one(b, epoch)
             self._flush_metrics(log, epoch, n_batches_total, n_batches_total)
             wall = time.perf_counter() - epoch_t0
             log.info(

@@ -1,0 +1,399 @@
+"""Device-resident corpus cache: behavioural contract vs the host loader.
+
+The cache's contract (data/device_cache.py docstring): batches identical
+to the host DataLoader's up to one f32 rounding in the SNR mix, same
+bucketing plan, same seeded RNG draws -- plus chunked int32 addressing
+that scales past 2^31 total samples, loud rejection of the
+short-noise-tiling branch, and the row-end tail-pad guard (ADVICE r3).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from fullycnnspeechenhancement_tpu.config import (
+    Config,
+    DataConfig,
+    DSPConfig,
+    ModelConfig,
+    TrainConfig,
+)
+from fullycnnspeechenhancement_tpu.data import write_manifest, write_wav
+from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
+from fullycnnspeechenhancement_tpu.data.device_cache import (
+    CachedBatch,
+    DeviceCacheLoader,
+    DeviceCorpus,
+    FlatCorpus,
+    build_device_corpus,
+    materialize_batch,
+)
+from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+from fullycnnspeechenhancement_tpu.data.manifest import read_manifest
+
+SR = 8000
+DSP = DSPConfig()
+
+
+def _sine(duration_s, freq, gain=0.4):
+    t = np.arange(int(duration_s * SR)) / SR
+    return (gain * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """Clean corpus spanning three buckets + one long noise recording."""
+    root = tmp_path_factory.mktemp("cache_corpus")
+    durations = [0.5, 0.9, 1.3, 0.5, 2.1, 0.7, 1.3, 0.9]
+    entries = []
+    for i, d in enumerate(durations):
+        p = str(root / f"c{i}.wav")
+        write_wav(p, _sine(d, 250 + 60 * i), SR)
+        entries.append({"audio_filepath": p, "duration": d})
+    clean_manifest = str(root / "manifest.clean")
+    write_manifest(clean_manifest, entries)
+
+    rng = np.random.default_rng(7)
+    noise_entries = []
+    for i, d in enumerate([3.0, 2.5]):
+        p = str(root / f"n{i}.wav")
+        write_wav(
+            p, (0.25 * rng.standard_normal(int(d * SR))).astype(np.float32), SR
+        )
+        noise_entries.append({"audio_filepath": p, "duration": d})
+    noise_manifest = str(root / "manifest.noise")
+    write_manifest(noise_manifest, noise_entries)
+
+    # premixed pair manifest over the same cleans (mix = clean + tone)
+    pre_entries = []
+    for i, d in enumerate(durations[:4]):
+        p = str(root / f"mix{i}.wav")
+        write_wav(p, _sine(d, 250 + 60 * i) + _sine(d, 1000 + 10 * i, 0.1), SR)
+        pre_entries.append(
+            {
+                "clean_audio_filepath": str(root / f"c{i}.wav"),
+                "mix_audio_filepath": p,
+                "duration": d,
+            }
+        )
+    pre_manifest = str(root / "manifest.premixed")
+    write_manifest(pre_manifest, pre_entries)
+    return {
+        "clean": clean_manifest,
+        "noise": noise_manifest,
+        "premixed": pre_manifest,
+    }
+
+
+def _host_batches(manifest, noise, batch_size, epoch, seed=0, snr=0.0):
+    ds = SpeechDataset(manifest, noise, SR, snr_db=snr, seed=seed)
+    loader = DataLoader(
+        ds, DSP, batch_size, shuffle=True, num_workers=1, seed=seed
+    )
+    loader.set_epoch(epoch)
+    return list(loader)
+
+
+def _cached_batches(corpus, batch_size, epoch, seed=0):
+    loader = DeviceCacheLoader(corpus, DSP, batch_size, shuffle=True, seed=seed)
+    loader.set_epoch(epoch)
+    return loader, list(loader)
+
+
+@pytest.mark.parametrize("epoch", [0, 1])
+def test_cached_batches_match_host_loader_mixing(corpus_dir, epoch):
+    """Noise-mixing mode: every materialized batch equals the host
+    DataLoader's batch (same plan, same indices, clean bit-exact, mix
+    within one f32 rounding)."""
+    corpus = build_device_corpus(
+        corpus_dir["clean"], corpus_dir["noise"], DSP, commit=False
+    )
+    host = _host_batches(corpus_dir["clean"], corpus_dir["noise"], 3, epoch)
+    loader, cached = _cached_batches(corpus, 3, epoch)
+    assert len(host) == len(cached)
+    for hb, cb in zip(host, cached):
+        assert hb.bucket_frames == cb.bucket_frames
+        np.testing.assert_array_equal(hb.indices, cb.indices)
+        mix, clean = materialize_batch(
+            corpus.clean,
+            corpus.other,
+            cb,
+            loader.pad_len(cb.bucket_frames),
+            corpus.premixed,
+        )
+        np.testing.assert_array_equal(np.asarray(clean), hb.clean_wav)
+        np.testing.assert_allclose(
+            np.asarray(mix), hb.mix_wav, rtol=0, atol=1e-6
+        )
+        # mixes genuinely differ from clean (noise was added)
+        assert float(np.abs(np.asarray(mix) - np.asarray(clean)).max()) > 1e-3
+
+
+def test_cached_batches_match_host_loader_premixed(corpus_dir):
+    corpus = build_device_corpus(
+        corpus_dir["premixed"], None, DSP, commit=False
+    )
+    host = _host_batches(corpus_dir["premixed"], None, 2, 0)
+    loader, cached = _cached_batches(corpus, 2, 0)
+    assert corpus.premixed and len(host) == len(cached)
+    for hb, cb in zip(host, cached):
+        np.testing.assert_array_equal(hb.indices, cb.indices)
+        mix, clean = materialize_batch(
+            corpus.clean,
+            corpus.other,
+            cb,
+            loader.pad_len(cb.bucket_frames),
+            True,
+        )
+        np.testing.assert_array_equal(np.asarray(clean), hb.clean_wav)
+        np.testing.assert_array_equal(np.asarray(mix), hb.mix_wav)
+
+
+def test_short_noise_rejected(corpus_dir, tmp_path):
+    """The tile-short-noise branch is not device-representable: build()
+    must raise (the host DataLoader stays the path for such corpora)."""
+    p = str(tmp_path / "short_noise.wav")
+    write_wav(p, (0.1 * np.ones(int(0.3 * SR))).astype(np.float32), SR)
+    m = str(tmp_path / "manifest.shortnoise")
+    write_manifest(m, [{"audio_filepath": p, "duration": 0.3}])
+    with pytest.raises(ValueError, match="shortest noise recording"):
+        build_device_corpus(corpus_dir["clean"], m, DSP, commit=False)
+
+
+def test_tail_pad_guard_raises(corpus_dir):
+    """A corpus whose tail pad cannot cover the worst-case bucket slack
+    must be refused at loader construction, not silently clamp device
+    slices (ADVICE r3 low)."""
+    entries = read_manifest(corpus_dir["clean"])
+    corpus = DeviceCorpus(
+        entries, None, SR, pad_samples=16, snr_db=0.0, seed=0
+    )
+    with pytest.raises(ValueError, match="tail pad"):
+        DeviceCacheLoader(corpus, DSP, 2)
+
+
+def test_chunked_packing_and_reconstruction(corpus_dir):
+    """Small chunk_limit forces multi-row packing; per-entry reconstruction
+    stays bit-exact and offsets stay within the chunk budget (the int32
+    safety argument: offset < chunk_limit regardless of corpus size)."""
+    entries = read_manifest(corpus_dir["clean"])
+    paths = [e.audio_filepath for e in entries]
+    pad = 64
+    limit = int(2.5 * SR)  # forces several rows for 0.5-2.1 s entries
+    fc = FlatCorpus.build(paths, SR, pad, chunk_limit=limit)
+    assert fc.flat.ndim == 2 and fc.flat.shape[0] >= 3
+    assert fc.flat.shape[1] <= limit
+    assert fc.offsets.dtype == np.int32 and fc.chunks.dtype == np.int32
+    assert int(fc.offsets.max()) + pad < limit
+    ref = FlatCorpus.build(paths, SR, pad)  # single row
+    assert ref.flat.shape[0] == 1
+    for i in range(len(paths)):
+        np.testing.assert_array_equal(fc.segment(i), ref.segment(i))
+    # every row ends with >= pad zeros
+    assert not fc.flat[:, -pad:].any()
+
+
+def test_chunked_corpus_matches_host_loader(corpus_dir):
+    """Equality with the host loader holds across chunk boundaries too."""
+    corpus = build_device_corpus(
+        corpus_dir["clean"],
+        corpus_dir["noise"],
+        DSP,
+        commit=False,
+        max_bucket_frames=192,
+        chunk_limit=int(7.0 * SR),
+    )
+    assert corpus.clean.shape[0] > 1  # actually chunked
+    host = _host_batches(corpus_dir["clean"], corpus_dir["noise"], 2, 0)
+    loader, cached = _cached_batches(corpus, 2, 0)
+    for hb, cb in zip(host, cached):
+        mix, clean = materialize_batch(
+            corpus.clean,
+            corpus.other,
+            cb,
+            loader.pad_len(cb.bucket_frames),
+            False,
+        )
+        np.testing.assert_array_equal(np.asarray(clean), hb.clean_wav)
+        np.testing.assert_allclose(
+            np.asarray(mix), hb.mix_wav, rtol=0, atol=1e-6
+        )
+
+
+def test_oversize_recording_rejected(tmp_path):
+    p = str(tmp_path / "long.wav")
+    write_wav(p, np.zeros(SR, np.float32), SR)
+    with pytest.raises(ValueError, match="chunk budget"):
+        FlatCorpus.build([p], SR, pad_samples=16, chunk_limit=SR // 2)
+
+
+# ---- train-step integration -------------------------------------------
+
+
+def _train_config(batch, steps_per_call=1, **kw):
+    return Config(
+        model=ModelConfig(net_work="FullyCNN"),
+        train=TrainConfig(
+            batch_size=batch,
+            lr=1e-3,
+            warmup_steps=100,
+            steps_per_call=steps_per_call,
+            continue_train=False,
+            **kw,
+        ),
+    )
+
+
+def test_cached_step_matches_host_batch_step(corpus_dir):
+    """One optimizer step from cache-materialized batches equals the same
+    step fed the host loader's waveforms (loss + updated params)."""
+    from fullycnnspeechenhancement_tpu.models import get_model
+    from fullycnnspeechenhancement_tpu.train import create_train_state
+    from fullycnnspeechenhancement_tpu.train.cached_step import (
+        Meta,
+        make_cached_train_step,
+    )
+    from fullycnnspeechenhancement_tpu.train.step import (
+        Batch,
+        make_train_step,
+    )
+
+    config = _train_config(3)
+    model = get_model("FullyCNN")
+    corpus = build_device_corpus(
+        corpus_dir["clean"], corpus_dir["noise"], DSP, commit=False
+    )
+    host = _host_batches(corpus_dir["clean"], corpus_dir["noise"], 3, 0)
+    loader, cached = _cached_batches(corpus, 3, 0)
+    hb, cb = host[0], cached[0]
+
+    s0 = create_train_state(config, model, jax.random.PRNGKey(3))
+    host_step = jax.jit(make_train_step(config, model))
+    s_host, m_host = host_step(
+        s0, Batch(hb.mix_wav, hb.clean_wav, hb.lengths)
+    )
+
+    s0b = create_train_state(config, model, jax.random.PRNGKey(3))
+    cstep = jax.jit(
+        make_cached_train_step(
+            config, model, loader.pad_len(cb.bucket_frames), corpus.premixed
+        )
+    )
+    s_cache, m_cache = cstep(
+        s0b, corpus.clean, corpus.other, Meta.from_batch(cb)
+    )
+    np.testing.assert_allclose(
+        float(m_cache["loss"]), float(m_host["loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_cache.params["encode_1"]["w"]),
+        np.asarray(s_host.params["encode_1"]["w"]),
+        rtol=1e-4,
+        atol=1e-7,
+    )
+
+
+def test_trainer_cached_epoch_matches_host_loader(corpus_dir, tmp_path):
+    """Full Trainer.train epoch: the cached path's per-step losses track
+    the host-loader path within f32 mixing tolerance, for both K=1 and
+    the K=2 scanned multi-step dispatch."""
+    import json
+
+    from fullycnnspeechenhancement_tpu.train.trainer import Trainer
+
+    def run(loader_kind, steps_per_call, tag):
+        config = _train_config(
+            2,
+            steps_per_call=steps_per_call,
+            checkpoints_path=str(tmp_path / f"ck_{tag}"),
+            log_dir=str(tmp_path / f"log_{tag}"),
+        )
+        if loader_kind == "host":
+            ds = SpeechDataset(
+                corpus_dir["clean"], corpus_dir["noise"], SR, seed=0
+            )
+            loader = DataLoader(
+                ds, DSP, 2, shuffle=True, num_workers=1, seed=0
+            )
+        else:
+            corpus = build_device_corpus(
+                corpus_dir["clean"], corpus_dir["noise"], DSP, commit=False
+            )
+            loader = DeviceCacheLoader(corpus, DSP, 2, shuffle=True, seed=0)
+        trainer = Trainer(config)
+        trainer.train(loader, epochs=1)
+        trainer.ckpt.close()
+        rows = [
+            json.loads(line)
+            for line in open(trainer._scalars_path)
+            if "loss" in json.loads(line)
+        ]
+        losses = [r["loss"] for r in sorted(rows, key=lambda r: r["step"])]
+        return losses, trainer.state
+
+    for k in (1, 2):
+        host_losses, host_state = run("host", k, f"host{k}")
+        cache_losses, cache_state = run("cache", k, f"cache{k}")
+        assert len(host_losses) == len(cache_losses) > 0
+        np.testing.assert_allclose(cache_losses, host_losses, rtol=1e-3)
+        # one f32 rounding difference in the mix propagates through Adam's
+        # rsqrt; weights stay equal to ~1e-4 absolute after an epoch
+        np.testing.assert_allclose(
+            np.asarray(cache_state.params["encode_1"]["w"]),
+            np.asarray(host_state.params["encode_1"]["w"]),
+            rtol=1e-3,
+            atol=1e-4,
+        )
+        assert int(cache_state.step) == len(cache_losses)
+
+
+def test_cached_dp_step_matches_single_device(corpus_dir):
+    """DP cached step on a 2-device mesh (flats replicated, metadata
+    sharded) reproduces the single-device cached step exactly."""
+    from fullycnnspeechenhancement_tpu.models import get_model
+    from fullycnnspeechenhancement_tpu.parallel import (
+        make_mesh,
+        make_parallel_cached_step,
+        replicate,
+        shard_meta,
+    )
+    from fullycnnspeechenhancement_tpu.train import create_train_state
+    from fullycnnspeechenhancement_tpu.train.cached_step import (
+        Meta,
+        make_cached_train_step,
+    )
+
+    config = _train_config(4)
+    model = get_model("FullyCNN")
+    corpus = build_device_corpus(
+        corpus_dir["clean"], corpus_dir["noise"], DSP, commit=False
+    )
+    loader = DeviceCacheLoader(corpus, DSP, 4, shuffle=False, seed=0)
+    cb = next(iter(loader))
+    bucket_samples = loader.pad_len(cb.bucket_frames)
+
+    s0 = create_train_state(config, model, jax.random.PRNGKey(5))
+    single = jax.jit(
+        make_cached_train_step(config, model, bucket_samples, False)
+    )
+    s_single, m_single = single(
+        s0, corpus.clean, corpus.other, Meta.from_batch(cb)
+    )
+
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    corpus.commit(replicate(mesh))
+    s0b = create_train_state(config, model, jax.random.PRNGKey(5))
+    pstep = make_parallel_cached_step(config, model, mesh, bucket_samples, False)
+    s_dp, m_dp = pstep(
+        s0b, corpus.clean, corpus.other, shard_meta(mesh, Meta.from_batch(cb))
+    )
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_single["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_dp.params["encode_1"]["w"]),
+        np.asarray(s_single.params["encode_1"]["w"]),
+        rtol=1e-5,
+        atol=1e-7,
+    )

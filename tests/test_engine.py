@@ -139,6 +139,66 @@ def test_trainer_runs_validates_and_resumes(tmp_path, corpus):
     trainer2.ckpt.close()
 
 
+def test_trainer_warm_start_base_checkpoint(tmp_path, corpus):
+    """`base_checkpoint_file` (reference trainer.py:52-53): explicit
+    warm-start source takes priority over resume-from-latest; params/BN
+    load, optimizer and epoch counter start fresh.  Both the npz bridge
+    layout and an orbax run directory are accepted."""
+    from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
+    from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+    from fullycnnspeechenhancement_tpu.train.trainer import Trainer
+
+    cfg = _config(tmp_path, epochs=1)
+    ds = SpeechDataset(corpus["clean"], corpus["noise"], 8000, seed=0)
+    loader = DataLoader(
+        ds, cfg.dsp, 2, bucket_frames=(64, 128, 256), num_workers=2, seed=0
+    )
+    trainer = Trainer(cfg)
+    trainer.train(loader)
+    trained_w = np.asarray(trainer.state.params["encode_1"]["w"])
+    npz = str(tmp_path / "warm.npz")
+    export_params_npz(npz, trainer.state.params, trainer.state.bn_state)
+    run_dir = trainer.ckpt.dir
+    trainer.ckpt.close()
+
+    # npz form; continue_train=True must NOT win over the explicit file
+    cfg2 = _config(
+        tmp_path / "w2", base_checkpoint_file=npz, continue_train=True
+    )
+    t2 = Trainer(cfg2)
+    assert t2.start_epoch == 0 and int(t2.state.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.params["encode_1"]["w"]), trained_w
+    )
+    t2.ckpt.close()
+
+    # orbax run-directory form
+    cfg3 = _config(tmp_path / "w3", base_checkpoint_file=run_dir)
+    t3 = Trainer(cfg3)
+    assert t3.start_epoch == 0 and int(t3.state.step) == 0
+    np.testing.assert_array_equal(
+        np.asarray(t3.state.params["encode_1"]["w"]), trained_w
+    )
+    t3.ckpt.close()
+
+    # bogus path fails loudly
+    cfg4 = _config(
+        tmp_path / "w4", base_checkpoint_file=str(tmp_path / "missing.ckpt")
+    )
+    with pytest.raises(FileNotFoundError):
+        Trainer(cfg4)
+
+    # INI round-trip of the key
+    ini = tmp_path / "warm.cfg"
+    ini.write_text(
+        f"[training]\nbase_checkpoint_file = {npz}\n[model]\n"
+        "net_work = FullyCNN\n[data]\nsample_rate = 8000\n"
+    )
+    from fullycnnspeechenhancement_tpu.config import load_ini_config
+
+    assert load_ini_config(str(ini)).train.base_checkpoint_file == npz
+
+
 def test_trainer_steps_per_call(tmp_path, corpus):
     """steps_per_call=2 runs every batch exactly once per epoch (stacked
     scan calls plus single-step residuals) with one metrics fetch."""
