@@ -25,13 +25,10 @@ import time
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--seconds", type=float, default=30.0)
-    ap.add_argument("--chunk-frames", type=int, default=8)
-    ap.add_argument("--json", action="store_true")
-    a = ap.parse_args()
-
+def measure(seconds: float = 30.0, chunk_frames: int = 8) -> dict:
+    """Run the sustained-stream RTF measurement; returns the result dict.
+    Importable by bench.py so the driver-visible BENCH record carries a
+    streaming number (VERDICT r3 weak 4)."""
     import jax
 
     from fullycnnspeechenhancement_tpu.config import Config, ModelConfig
@@ -42,14 +39,14 @@ def main():
     model = get_model("FullyCNNV2")
     params, bn_state = model.init(jax.random.PRNGKey(0))
     den = StreamingDenoiser(
-        config, params, bn_state, chunk_frames=a.chunk_frames
+        config, params, bn_state, chunk_frames=chunk_frames
     )
 
     sr = config.dsp.sample_rate
     step = config.dsp.frame_step
-    push_samples = a.chunk_frames * step  # one chunk of audio per push
+    push_samples = chunk_frames * step  # one chunk of audio per push
     rng = np.random.default_rng(0)
-    t = np.arange(int(a.seconds * sr)) / sr
+    t = np.arange(int(seconds * sr)) / sr
     wav = (
         0.4 * np.sin(2 * np.pi * 440 * t)
         + 0.1 * rng.standard_normal(len(t))
@@ -74,18 +71,27 @@ def main():
     audio_s = pushes * push_samples / sr
     times_ms = np.asarray(times) * 1e3
     budget_ms = push_samples / sr * 1e3
-    result = {
+    return {
         "metric": "streaming_rtf",
         "rtf": round(audio_s / wall, 2),
         "unit": "audio-s/wall-s",
         "backend": jax.default_backend(),
-        "chunk_frames": a.chunk_frames,
+        "chunk_frames": chunk_frames,
         "budget_ms": round(budget_ms, 1),
         "push_p50_ms": round(float(np.percentile(times_ms, 50)), 2),
         "push_p95_ms": round(float(np.percentile(times_ms, 95)), 2),
         "audio_seconds": round(audio_s, 1),
         "samples_out": out_total,
     }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=30.0)
+    ap.add_argument("--chunk-frames", type=int, default=8)
+    ap.add_argument("--json", action="store_true")
+    a = ap.parse_args()
+    result = measure(a.seconds, a.chunk_frames)
     print(json.dumps(result))
     if result["rtf"] <= 1.0:
         print("FAIL: not real-time", file=sys.stderr)

@@ -62,6 +62,7 @@ def build_loaders(config: Config, num_workers: int):
             num_workers=num_workers,
             prefetch=config.data.prefetch_batches,
             seed=config.data.seed,
+            int16_transport=config.data.int16_transport,
         )
     val_loader = None
     if config.data.val_manifest_path:

@@ -34,11 +34,12 @@ from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
 
 
 class LoaderBatch(NamedTuple):
-    mix_wav: np.ndarray  # [B, L_bucket] float32
-    clean_wav: np.ndarray  # [B, L_bucket] float32
+    mix_wav: np.ndarray  # [B, L_bucket] float32 (int16 when the
+    clean_wav: np.ndarray  # [B, L_bucket]  loader's int16_transport is on)
     lengths: np.ndarray  # [B] int32 true sample counts
     indices: np.ndarray  # [B] int32 dataset indices (for eval bookkeeping)
     bucket_frames: int
+    wav_scale: Optional[np.ndarray] = None  # [B] f32, int16 transport only
 
 
 class BucketSampler:
@@ -107,6 +108,7 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 4,
         seed: int = 0,
+        int16_transport: bool = False,
     ):
         self.dataset = dataset
         self.dsp = dsp
@@ -116,6 +118,12 @@ class DataLoader:
         )
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
+        # Ship waveforms as int16 PCM and cast on device (train.step
+        # handles integer batches): halves host->device bytes, the
+        # binding constraint on link-bound hosts (PERF_NOTES.md round 3
+        # H2D ceiling).  Costs one int16 quantization (-96 dBFS) -- nil
+        # for int16-sourced corpora, which round-trip exactly.
+        self.int16_transport = int16_transport
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -140,6 +148,25 @@ class DataLoader:
             mix[j, :n] = m[:n]
             clean[j, :n] = c[:n]
             lengths[j] = n
+        if self.int16_transport:
+            # Per-utterance peak normalization: 0 dB mixes exceed +/-1.0,
+            # so full-scale int16 would clip; the step reconstructs
+            # wav = i16 * scale / 32768 on device (quantization is 2^-15
+            # of each utterance's own peak).
+            peak = np.maximum(
+                np.abs(mix).max(axis=1), np.abs(clean).max(axis=1)
+            )
+            # 32768/32767 headroom so the peak sample lands on 32767
+            # exactly instead of clipping by one LSB
+            scale = (
+                np.maximum(peak, 1e-12) * (32768.0 / 32767.0)
+            ).astype(np.float32)
+            q = 32768.0 / scale[:, None]
+            mix = np.clip(np.round(mix * q), -32768, 32767).astype(np.int16)
+            clean = np.clip(np.round(clean * q), -32768, 32767).astype(np.int16)
+            return LoaderBatch(
+                mix, clean, lengths, np.asarray(idxs, np.int32), bucket, scale
+            )
         return LoaderBatch(mix, clean, lengths, np.asarray(idxs, np.int32), bucket)
 
     def __iter__(self) -> Iterator[LoaderBatch]:

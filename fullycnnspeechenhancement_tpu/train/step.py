@@ -48,11 +48,27 @@ class TrainState(NamedTuple):
 
 
 class Batch(NamedTuple):
-    """Raw-waveform batch: device does the DSP."""
+    """Raw-waveform batch: device does the DSP.
 
-    mix_wav: jnp.ndarray  # [B, L] float32, zero-padded
+    Waveform leaves are float32, or int16 when the loader ships
+    `int16_transport` batches -- then `wav_scale` carries the [B]
+    per-utterance peak normalization (mixes at 0 dB SNR exceed +/-1.0,
+    so plain full-scale int16 would clip them) and the step reconstructs
+    on device via `_as_wav`, halving host->device bytes on link-bound
+    hosts."""
+
+    mix_wav: jnp.ndarray  # [B, L] float32 or int16, zero-padded
     clean_wav: jnp.ndarray  # [B, L]
     lengths: jnp.ndarray  # [B] int32 sample counts
+    wav_scale: Optional[jnp.ndarray] = None  # [B] float32, int16 mode only
+
+
+def _as_wav(x: jnp.ndarray, scale: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """int16 transport -> float32 waveform; float32 passes through."""
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        wav = x.astype(jnp.float32) / 32768.0
+        return wav if scale is None else wav * scale[:, None]
+    return x
 
 
 def create_train_state(config: Config, model: ModelDef, rng) -> TrainState:
@@ -121,8 +137,10 @@ def make_train_step(config: Config, model: ModelDef):
     forward = _model_forward(config, model)
 
     def loss_fn(params, bn_state, batch: Batch):
-        mix_mag = ext(batch.mix_wav, batch.lengths)  # [B, T, F]
-        clean_mag = ext(batch.clean_wav, batch.lengths)
+        mix_mag = ext(
+            _as_wav(batch.mix_wav, batch.wav_scale), batch.lengths
+        )  # [B, T, F]
+        clean_mag = ext(_as_wav(batch.clean_wav, batch.wav_scale), batch.lengths)
         x = mix_mag[..., None].astype(compute_dtype)
         T = mix_mag.shape[1]
         if mask_loss:

@@ -254,7 +254,10 @@ class Trainer:
 
     def _device_batch(self, b: LoaderBatch) -> Batch:
         batch = Batch(
-            jnp.asarray(b.mix_wav), jnp.asarray(b.clean_wav), jnp.asarray(b.lengths)
+            jnp.asarray(b.mix_wav),
+            jnp.asarray(b.clean_wav),
+            jnp.asarray(b.lengths),
+            None if b.wav_scale is None else jnp.asarray(b.wav_scale),
         )
         if self.mesh is not None:
             batch = shard_batch(self.mesh, batch)
@@ -272,6 +275,9 @@ class Trainer:
             jnp.asarray(np.stack([x.mix_wav for x in bufs])),
             jnp.asarray(np.stack([x.clean_wav for x in bufs])),
             jnp.asarray(np.stack([x.lengths for x in bufs])),
+            None
+            if bufs[0].wav_scale is None
+            else jnp.asarray(np.stack([x.wav_scale for x in bufs])),
         )
         if self.mesh is not None:
             batch = shard_stacked_batch(self.mesh, batch)

@@ -36,6 +36,13 @@ def main():
         help="steps_per_call: >1 runs the stacked multi-step DP path "
         "(make_parallel_multi_step) instead of the single-step path",
     )
+    p.add_argument(
+        "--cached",
+        action="store_true",
+        help="run the device-cache DP path: every process builds the full "
+        "corpus, flats ride as replicated global arrays, [B] metadata "
+        "shards over 'data' (make_parallel_cached_step)",
+    )
     a = p.parse_args()
 
     import jax
@@ -100,7 +107,62 @@ def main():
 
     model = get_model("FullyCNNV2")
     state = create_train_state(config, model, jax.random.PRNGKey(42))
-    if a.steps == 1:
+    if a.cached:
+        # Device-cache DP across REAL process boundaries: identical
+        # corpora built per process (full manifest, not the host shard),
+        # flats as fully-replicated global arrays, metadata rows owned
+        # per host.
+        from fullycnnspeechenhancement_tpu.data.device_cache import (
+            DeviceCacheLoader,
+            build_device_corpus,
+        )
+        from fullycnnspeechenhancement_tpu.parallel.dp import (
+            make_parallel_cached_step,
+        )
+        from fullycnnspeechenhancement_tpu.train.cached_step import Meta
+
+        corpus = build_device_corpus(
+            a.manifest, None, config.dsp, commit=False
+        )
+        repl = NamedSharding(mesh, P())
+        clean_flat = jax.make_array_from_process_local_data(
+            repl, np.asarray(corpus.clean)
+        )
+        other_flat = jax.make_array_from_process_local_data(
+            repl, np.asarray(corpus.other)
+        )
+        cloader = DeviceCacheLoader(
+            corpus, config.dsp, global_batch, shuffle=False
+        )
+        cb = next(iter(cloader))
+        lo = a.pid * local_batch_size(global_batch)
+        hi = lo + local_batch_size(global_batch)
+        fields = (
+            cb.clean_chunk,
+            cb.clean_off,
+            cb.other_chunk,
+            cb.other_off,
+            cb.scale,
+            cb.lengths,
+        )
+        meta = Meta(
+            *(
+                jax.make_array_from_process_local_data(
+                    sh, np.ascontiguousarray(x[lo:hi])
+                )
+                for x in fields
+            )
+        )
+        pstep = make_parallel_cached_step(
+            config,
+            model,
+            mesh,
+            config.dsp.padded_samples(cb.bucket_frames),
+            corpus.premixed,
+        )
+        state, metrics = pstep(state, clean_flat, other_flat, meta)
+        losses = np.asarray([float(metrics["loss"])])
+    elif a.steps == 1:
         batch = Batch(
             globalize(b.mix_wav), globalize(b.clean_wav), globalize(b.lengths)
         )

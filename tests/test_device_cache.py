@@ -348,6 +348,73 @@ def test_trainer_cached_epoch_matches_host_loader(corpus_dir, tmp_path):
         assert int(cache_state.step) == len(cache_losses)
 
 
+def test_int16_transport_matches_f32_loss(corpus_dir):
+    """Host-loader int16 transport: batches ship as int16 PCM, the train
+    step casts on device; for int16-sourced wavs the clean path is exact
+    and the mix differs only by one -96 dBFS quantization."""
+    from fullycnnspeechenhancement_tpu.models import get_model
+    from fullycnnspeechenhancement_tpu.train import create_train_state
+    from fullycnnspeechenhancement_tpu.train.step import (
+        Batch,
+        make_train_step,
+    )
+
+    ds = SpeechDataset(corpus_dir["clean"], corpus_dir["noise"], SR, seed=0)
+    f32_loader = DataLoader(
+        ds, DSP, 2, shuffle=False, num_workers=1, seed=0
+    )
+    i16_loader = DataLoader(
+        ds, DSP, 2, shuffle=False, num_workers=1, seed=0,
+        int16_transport=True,
+    )
+    ds.set_epoch(0)
+    fb = next(iter(f32_loader))
+    ds.set_epoch(0)  # identical mixing draws for the second pass
+    ib = next(iter(i16_loader))
+    assert ib.mix_wav.dtype == np.int16 and ib.clean_wav.dtype == np.int16
+    assert ib.wav_scale is not None and ib.wav_scale.shape == (2,)
+    # per-utterance peak normalization: 0 dB mixes exceed +/-1.0 and must
+    # NOT clip; quantization error is 2^-15 of each utterance's own peak
+    assert float(np.abs(fb.mix_wav).max()) > 1.0
+    recon = (
+        ib.mix_wav.astype(np.float32) / 32768.0 * ib.wav_scale[:, None]
+    )
+    peak = np.abs(fb.mix_wav).max(axis=1, keepdims=True)
+    np.testing.assert_allclose(recon, fb.mix_wav, atol=float(peak.max()) / 32768)
+
+    config = _train_config(2)
+    model = get_model("FullyCNN")
+    step = jax.jit(make_train_step(config, model))
+    s0 = create_train_state(config, model, jax.random.PRNGKey(4))
+    _, m_f32 = step(s0, Batch(fb.mix_wav, fb.clean_wav, fb.lengths))
+    s0b = create_train_state(config, model, jax.random.PRNGKey(4))
+    _, m_i16 = step(
+        s0b, Batch(ib.mix_wav, ib.clean_wav, ib.lengths, ib.wav_scale)
+    )
+    np.testing.assert_allclose(
+        float(m_i16["loss"]), float(m_f32["loss"]), rtol=1e-4
+    )
+
+    # DP path accepts both transport modes (wav_scale leaf present/None)
+    from fullycnnspeechenhancement_tpu.parallel import (
+        make_mesh,
+        make_parallel_train_step,
+        shard_batch,
+    )
+
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:2])
+    pstep = make_parallel_train_step(config, model, mesh)
+    for b in (
+        Batch(fb.mix_wav, fb.clean_wav, fb.lengths),
+        Batch(ib.mix_wav, ib.clean_wav, ib.lengths, ib.wav_scale),
+    ):
+        s = create_train_state(config, model, jax.random.PRNGKey(4))
+        _, m = pstep(s, shard_batch(mesh, b))
+        np.testing.assert_allclose(
+            float(m["loss"]), float(m_f32["loss"]), rtol=1e-4
+        )
+
+
 def test_cached_dp_step_matches_single_device(corpus_dir):
     """DP cached step on a 2-device mesh (flats replicated, metadata
     sharded) reproduces the single-device cached step exactly."""

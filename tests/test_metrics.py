@@ -58,10 +58,19 @@ def test_stoi_monotone_in_noise():
     assert scores[-1] < 0.5
 
 
-def test_stoi_rejects_too_short():
+def test_stoi_short_signal_returns_sentinel():
+    """pystoi behaviour: too-short signals warn and score the 1e-5
+    sentinel instead of raising -- a metric must never kill an
+    evaluation pass (VERDICT r3 weak 7)."""
     y = _speechlike(0.2)
-    with pytest.raises(ValueError):
-        stoi(y, y, SR)
+    with pytest.warns(UserWarning, match="too short for STOI"):
+        assert stoi(y, y, SR) == pytest.approx(1e-5)
+    # a 0.4 s utterance (the reference's min_duration floor) that is
+    # mostly silent drops under one segment after silent-frame removal
+    quiet = np.zeros(int(0.4 * SR), np.float32)
+    quiet[: int(0.05 * SR)] = _speechlike(0.05)
+    with pytest.warns(UserWarning, match="too short for STOI"):
+        assert stoi(quiet, quiet, SR) == pytest.approx(1e-5)
 
 
 def test_stoi_matches_oracle_golden_fixtures():
@@ -139,6 +148,111 @@ def test_pesq_native_available_and_anchors():
     # delay invariance (constant-delay alignment path)
     delayed = np.concatenate([np.zeros(200, np.float32), y])
     assert p(y, delayed[: len(y)]) > 4.0
+
+
+def _speech_anchor(seconds=4.0, gap_s=0.0, parts=1):
+    """Harmonic syllabically-modulated carrier; with parts>1, that many
+    utterances separated by `gap_s` of silence (for re-alignment tests)."""
+    t = np.arange(int(seconds * SR)) / SR
+    env = 0.55 + 0.45 * np.sin(2 * np.pi * 4.0 * t)
+    y = (
+        env
+        * (
+            0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.2 * np.sin(2 * np.pi * 440 * t)
+            + 0.1 * np.sin(2 * np.pi * 880 * t)
+        )
+    ).astype(np.float32)
+    if parts == 1:
+        return y
+    gap = np.zeros(int(gap_s * SR), np.float32)
+    return np.concatenate([x for p in range(parts) for x in (y, gap)][:-1])
+
+
+def test_pesq_native_dense_anchor_grid():
+    """Denser sensitivity grid than the r1 anchors (VERDICT r3 next-item
+    5): strict SNR monotonicity over 7 points, monotone degradation under
+    clipping and muting, and scale bounds at every point."""
+    from fullycnnspeechenhancement_tpu.data import native
+
+    if not native.native_available():
+        pytest.skip("native runtime not built")
+    p = PESQ(sr=SR)
+    y = _speech_anchor()
+    rng = np.random.default_rng(3)
+    noise = rng.standard_normal(len(y)).astype(np.float32)
+    grid = [40, 30, 20, 15, 10, 5, 0]
+    scores = []
+    for snr_db in grid:
+        scale = np.sqrt((y**2).sum() / (10 ** (snr_db / 10) * (noise**2).sum()))
+        s = p(y, y + scale * noise)
+        assert -0.5 <= s <= 4.5
+        scores.append(s)
+    assert all(a > b for a, b in zip(scores, scores[1:])), dict(zip(grid, scores))
+    assert scores[0] > 3.5 and scores[-1] < 2.5
+
+    # amplitude clipping: harsher clip -> lower score
+    clip_scores = [
+        p(y, np.clip(y, -c, c)) for c in [0.8, 0.4, 0.2, 0.1]
+    ]
+    assert all(a >= b for a, b in zip(clip_scores, clip_scores[1:])), clip_scores
+    assert clip_scores[-1] < clip_scores[0] - 0.5
+
+    # time muting: dropped audio is an audible penalty that grows from
+    # 5% -> 15% and then saturates (the L6-over-split-second aggregation
+    # maxes out once whole splits are destroyed -- P.862's own shape)
+    mute_scores = []
+    for frac in [0.05, 0.15, 0.35]:
+        d = y.copy()
+        n_mute = int(frac * len(d))
+        d[len(d) // 2 : len(d) // 2 + n_mute] = 0.0
+        mute_scores.append(p(y, d))
+    assert mute_scores[0] > mute_scores[1], mute_scores
+    assert mute_scores[2] <= mute_scores[0] - 0.5, mute_scores
+    assert all(s < 4.2 for s in mute_scores), mute_scores
+
+
+def test_pesq_native_utterance_realignment():
+    """Time-VARYING delay (a delay jump between utterances) must be
+    re-aligned per utterance (P.862 SS8.2 structure): with a 25 ms shift
+    on the second of two utterances the score stays near identity,
+    instead of collapsing under a constant-delay-only alignment."""
+    from fullycnnspeechenhancement_tpu.data import native
+
+    if not native.native_available():
+        pytest.skip("native runtime not built")
+    p = PESQ(sr=SR)
+    # two 2 s utterances separated by 400 ms silence
+    y = _speech_anchor(seconds=2.0, gap_s=0.4, parts=2)
+    half = int(2.0 * SR) + int(0.4 * SR) // 2  # inside the gap
+    shift = 200  # 25 ms delay jump on utterance 2
+    d = y.copy()
+    d[half + shift :] = y[half : len(y) - shift]
+    d[half : half + shift] = 0.0
+    realigned_score = p(y, d)
+    assert realigned_score > 4.0, realigned_score
+    # pathological variant: a PURE periodic tone, whose waveform
+    # correlation peaks at every pitch period -- the overlap-normalized
+    # exact per-utterance scan plus the nearest-utterance delay field
+    # must still find the true delays (the residual penalty is the
+    # genuinely-truncated 25 ms utterance tail, not misalignment)
+    t2 = np.arange(int(2.0 * SR)) / SR
+    env2 = 0.55 + 0.45 * np.sin(2 * np.pi * 4.0 * t2)
+    tone = (env2 * 0.3 * np.sin(2 * np.pi * 220 * t2)).astype(np.float32)
+    yt = np.concatenate([tone, np.zeros(int(0.4 * SR), np.float32), tone])
+    dt = yt.copy()
+    dt[half + shift :] = yt[half : len(yt) - shift]
+    dt[half : half + shift] = 0.0
+    assert p(yt, dt) > 3.0, p(yt, dt)
+    # control: the same 25 ms shift applied INSIDE one utterance (no
+    # silence boundary to re-align at) audibly degrades -- shows the
+    # realignment is per-utterance, not a blanket any-shift eraser
+    y1 = _speech_anchor(seconds=4.0)
+    d1 = y1.copy()
+    q = len(y1) // 2
+    d1[q + shift :] = y1[q : len(y1) - shift]
+    d1[q : q + shift] = 0.0
+    assert p(y1, d1) < realigned_score
 
 
 def test_pesq_native_rejects_too_short():

@@ -211,7 +211,12 @@ def test_multi_step_matches_sequential(tiny_config):
         state_a, m = step(state_a, b)
         losses.append(float(m["loss"]))
     stacked = Batch(
-        *(jnp.stack([getattr(b, f) for b in batches]) for f in Batch._fields)
+        *(
+            None
+            if getattr(batches[0], f) is None
+            else jnp.stack([getattr(b, f) for b in batches])
+            for f in Batch._fields
+        )
     )
     state_b, packed = multi(state_b, stacked)
     np.testing.assert_allclose(np.asarray(packed)[:, 0], losses, rtol=1e-5)
@@ -245,7 +250,12 @@ def test_parallel_multi_step_runs_on_mesh():
     rng = np.random.default_rng(4)
     batches = [_synthetic_batch(rng, batch_size=8) for _ in range(2)]
     stacked = Batch(
-        *(jnp.stack([getattr(b, f) for b in batches]) for f in Batch._fields)
+        *(
+            None
+            if getattr(batches[0], f) is None
+            else jnp.stack([getattr(b, f) for b in batches])
+            for f in Batch._fields
+        )
     )
     multi = make_parallel_multi_step(cfg, model, mesh)
     state, packed = multi(state, shard_stacked_batch(mesh, stacked))
