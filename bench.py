@@ -99,7 +99,9 @@ def bench_tpu(batch=64, seconds_per_utt=8.0, steps_per_call=8, calls=8, repeats=
     sb = jax.jit(
         lambda bb: Batch(
             *(
-                jnp.broadcast_to(x[None], (steps_per_call,) + x.shape)
+                None
+                if x is None
+                else jnp.broadcast_to(x[None], (steps_per_call,) + x.shape)
                 for x in bb
             )
         )
@@ -565,10 +567,18 @@ def main():
     # The PRODUCTION path: device-resident corpus cache, per-step H2D is
     # [B] metadata only (data/device_cache.py; replaces the tunnel-bound
     # host feed measured at 854 audio-s/s in round 3).
+    # Epoch sized so per-epoch costs (orbax checkpoint save, plan build,
+    # metric flush) amortize the way a real corpus's epochs do: 2048
+    # entries x 8 s = 16,384 audio-s/epoch (~2.7 s device compute) vs the
+    # host path's 512 (kept smaller because that loop is link-bound and
+    # slow either way).
     cached = _run(
         "train_loop_cached",
         lambda: bench_trainer_real_loop(
-            loader_mode="cached", epochs_measured=4
+            loader_mode="cached",
+            n_entries=2048,
+            epochs_measured=2,
+            steps_per_call=8,
         ),
     )
     real = _run("train_loop", bench_trainer_real_loop)
@@ -576,9 +586,7 @@ def main():
     # host->device bytes of the f32 host loop.
     real_i16 = _run(
         "train_loop_i16",
-        lambda: bench_trainer_real_loop(
-            loader_mode="host_i16", n_entries=256, epochs_measured=1
-        ),
+        lambda: bench_trainer_real_loop(loader_mode="host_i16"),
     )
     infer = _run("infer", bench_infer)
     # Fused path at a reduced shape: the whole-stack Mosaic kernel at

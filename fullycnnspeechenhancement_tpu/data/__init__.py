@@ -28,3 +28,10 @@ from fullycnnspeechenhancement_tpu.data.loader import (  # noqa: F401
     DataLoader,
     LoaderBatch,
 )
+from fullycnnspeechenhancement_tpu.data.device_cache import (  # noqa: F401
+    CachedBatch,
+    DeviceCacheLoader,
+    DeviceCorpus,
+    build_device_corpus,
+    materialize_batch,
+)

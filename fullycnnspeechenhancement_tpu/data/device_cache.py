@@ -233,6 +233,32 @@ class DeviceCorpus:
             else np.zeros((1, self.pad_samples), np.int16)
         )
 
+        # Lazy SNR power caches (see _ensure_power_caches): per-item
+        # speech power and noise cumulative-square tables make item_meta
+        # O(1) instead of O(utterance samples) -- the per-epoch metadata
+        # pass over a 150 h corpus would otherwise re-sum every sample.
+        self._p_sig: Optional[np.ndarray] = None
+        self._noise_cumsq: Optional[np.ndarray] = None
+
+    def _ensure_power_caches(self) -> None:
+        if self.premixed or self.noise_host is None or self._p_sig is not None:
+            return
+        n = len(self.item_lengths)
+        p = np.zeros(n, np.float64)
+        for i in range(n):
+            seg = self.clean_host.segment(i).astype(np.float32) / 32768.0
+            p[i] = np.dot(seg.astype(np.float64), seg.astype(np.float64))
+        self._p_sig = p
+        # noise cumulative squares per chunk row: p_noise of any crop is
+        # cs[c, s+L] - cs[c, s].  f64 table costs 4x the int16 flat but
+        # only over the (small) noise corpus, never the speech corpus.
+        nf = self.noise_host.flat.astype(np.float32) / 32768.0
+        sq = np.square(nf, dtype=np.float64)
+        self._noise_cumsq = np.concatenate(
+            [np.zeros((sq.shape[0], 1), np.float64), np.cumsum(sq, axis=1)],
+            axis=1,
+        )
+
     def nbytes(self) -> int:
         return self.clean.nbytes + (
             self.other.nbytes if self.other is not None else 0
@@ -283,6 +309,7 @@ class DeviceCorpus:
             )
         if self.noise_host is None:
             return cc, co, 0, 0, 0.0
+        self._ensure_power_caches()
         ni = int(assignment[index])
         oc = int(self.noise_host.chunks[ni])
         no_base = int(self.noise_host.offsets[ni])
@@ -292,20 +319,17 @@ class DeviceCorpus:
             start = 0  # mix_at_snr's >= branch with zero doublings: no draw
         else:
             start = int(rng.integers(0, n_len - L))
-        seg = self.noise_host.flat[oc, no_base + start : no_base + start + L]
-        speech = self.clean_host.segment(index)
-        p_sig = np.sum(
-            np.square(speech.astype(np.float32) / 32768.0, dtype=np.float64)
-        )
-        p_noise = np.sum(
-            np.square(seg.astype(np.float32) / 32768.0, dtype=np.float64)
+        p_sig = float(self._p_sig[index])
+        s0 = no_base + start
+        p_noise = float(
+            self._noise_cumsq[oc, s0 + L] - self._noise_cumsq[oc, s0]
         )
         if p_noise <= 0.0:
-            return cc, co, oc, no_base + start, 0.0
+            return cc, co, oc, s0, 0.0
         scale = np.sqrt(
             (p_sig / (10.0 ** (self.snr_db / 10.0))) / p_noise
         )
-        return cc, co, oc, no_base + start, float(scale)
+        return cc, co, oc, s0, float(scale)
 
 
 def materialize_batch(

@@ -53,15 +53,24 @@ class CheckpointManager:
         )
 
     def save(self, epoch: int, state: TrainState) -> None:
+        """Asynchronous: the save snapshots the (device) state and
+        finalizes in the background so the next epoch's compute overlaps
+        the write -- per-epoch checkpointing must not sit on the hot
+        path (the reference's tf.train.Saver blocks the session,
+        trainer.py:232-239).  `restore`/`close` barrier on completion."""
         self._mgr.save(
             epoch, args=ocp.args.StandardSave(_to_savable(state))
         )
+
+    def wait(self) -> None:
         self._mgr.wait_until_finished()
 
     def latest_epoch(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state_like: TrainState, epoch: Optional[int] = None):
+        self._mgr.wait_until_finished()
         epoch = self.latest_epoch() if epoch is None else epoch
         if epoch is None:
             return None, None
@@ -71,6 +80,7 @@ class CheckpointManager:
         return _from_savable(restored, state_like), epoch
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

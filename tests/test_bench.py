@@ -1,0 +1,45 @@
+"""bench.py plumbing guard: every trainer loader mode must run end-to-end
+on CPU at tiny shapes.  The bench is the driver-visible record of the
+round; a broken mode would otherwise only surface during the end-of-round
+TPU run (round 2 lost all numbers that way -- benchmarks/PERF_NOTES.md)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["host", "host_i16", "cached"])
+def test_bench_trainer_loop_modes_run(mode):
+    import bench
+
+    rate = bench.bench_trainer_real_loop(
+        batch=2,
+        seconds_per_utt=0.5,
+        n_entries=8,
+        epochs_measured=1,
+        steps_per_call=2,
+        loader_mode=mode,
+    )
+    assert rate > 0.0
+
+
+def test_bench_smoke_meta():
+    """The smoke gate's section list must keep covering every Pallas/
+    production path named in PERF_NOTES (cheap string check -- the real
+    compile gate runs on the TPU via `bench.py --smoke`)."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench.smoke)
+    for needle in (
+        "train_blocked_bf16_b64",
+        "dw_pallas",
+        "cached_train_step",
+        "fused_inference",
+    ):
+        assert needle in src
