@@ -101,7 +101,10 @@ def main(argv=None):
 
     train_loader, val_loader = build_loaders(config, args.num_works)
     trainer = Trainer(config)
-    trainer.train(train_loader, val_loader, log=logger)
+    try:
+        trainer.train(train_loader, val_loader, log=logger)
+    finally:
+        trainer.ckpt.close()
 
 
 if __name__ == "__main__":

@@ -290,6 +290,8 @@ def load_ini_config(path: str) -> Config:
         val_noise_manifest=opt("data", "val_noise_manifest"),
         test_noise_manifest=opt("data", "test_noise_manifest"),
         snr=float(_get(cp, "data", "snr", 0.0)),
+        min_duration=float(_get(cp, "data", "min_duration", 0.4)),
+        max_duration=float(_get(cp, "data", "max_duration", "inf")),
         audio_save_path=_get(cp, "data", "audio_save_path", "denoise"),
         num_workers=int(_get(cp, "data", "num_workers", 4)),
         use_native=str(_get(cp, "data", "use_native", "False")).lower()

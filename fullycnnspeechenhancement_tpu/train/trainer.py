@@ -27,6 +27,8 @@ from __future__ import annotations
 import json
 import logging
 import os
+import queue
+import threading
 import time
 from typing import Optional
 
@@ -228,25 +230,27 @@ class Trainer:
         loader.corpus.commit(sharding)
         self._cached_flats = (loader.corpus.clean, loader.corpus.other)
 
-    def _dispatch_cached_single(self, b: CachedBatch, epoch: int) -> None:
+    def _prep_cached_single(self, b: CachedBatch):
         meta = Meta.from_batch(b)
         if self.mesh is not None:
             meta = shard_meta(self.mesh, meta)
-        clean_flat, other_flat = self._cached_flats
-        self.state, metrics = self._cached_fn(b.bucket_frames, 1)(
-            self.state, clean_flat, other_flat, meta
-        )
-        self._note_steps(pack_step_metrics(metrics)[None], 1, epoch)
+        return (b.bucket_frames, meta)
 
-    def _dispatch_cached_multi(self, bufs: list, epoch: int) -> None:
+    def _prep_cached_multi(self, bufs: list):
         meta = Meta.stack(bufs)
         if self.mesh is not None:
             meta = shard_stacked_meta(self.mesh, meta)
+        return (bufs[0].bucket_frames, meta)
+
+    def _dispatch_cached(self, payload, k: int, epoch: int) -> None:
+        bucket_frames, meta = payload
         clean_flat, other_flat = self._cached_flats
-        self.state, packed = self._cached_fn(
-            bufs[0].bucket_frames, len(bufs)
-        )(self.state, clean_flat, other_flat, meta)
-        self._note_steps(packed, len(bufs), epoch)
+        self.state, out = self._cached_fn(bucket_frames, k)(
+            self.state, clean_flat, other_flat, meta
+        )
+        if k == 1:
+            out = pack_step_metrics(out)[None]
+        self._note_steps(out, k, epoch)
 
     def _log_scalars(self, **kv):
         with open(self._scalars_path, "a") as f:
@@ -263,10 +267,88 @@ class Trainer:
             batch = shard_batch(self.mesh, batch)
         return batch
 
-    def _dispatch_single(self, b: LoaderBatch, epoch: int) -> None:
-        batch = self._device_batch(b)
-        self.state, metrics = self._step(self.state, batch)
-        self._note_steps(pack_step_metrics(metrics)[None], 1, epoch)
+    def _prep_single(self, b: LoaderBatch):
+        return self._device_batch(b)
+
+    def _prep_multi(self, bufs: list) -> Batch:
+        batch = Batch(
+            jnp.asarray(np.stack([x.mix_wav for x in bufs])),
+            jnp.asarray(np.stack([x.clean_wav for x in bufs])),
+            jnp.asarray(np.stack([x.lengths for x in bufs])),
+            None
+            if bufs[0].wav_scale is None
+            else jnp.asarray(np.stack([x.wav_scale for x in bufs])),
+        )
+        if self.mesh is not None:
+            batch = shard_stacked_batch(self.mesh, batch)
+        return batch
+
+    def _dispatch_host(self, payload: Batch, k: int, epoch: int) -> None:
+        if k == 1:
+            self.state, metrics = self._step(self.state, payload)
+            packed = pack_step_metrics(metrics)[None]
+        else:
+            self.state, packed = self._multi_step(self.state, payload)
+        self._note_steps(packed, k, epoch)
+
+    def _feed(self, train_loader, K: int, cached: bool):
+        """Background feeder: consumes the loader, groups same-bucket
+        batches for the multi-step path, and moves payloads host->device
+        OFF the dispatch thread, so transfers overlap device compute
+        (the classic prefetch-to-device pipeline; on link-bound hosts
+        the H2D copy otherwise serializes against every step).  Yields
+        (payload, k, audio_seconds); queue depth bounds device-side
+        buffering to a couple of batches."""
+        prep_one = self._prep_cached_single if cached else self._prep_single
+        prep_multi = self._prep_cached_multi if cached else self._prep_multi
+        sr = self.config.dsp.sample_rate
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+        _SENTINEL = object()
+
+        def produce():
+            try:
+                buffers: dict = {}
+                for b in train_loader:
+                    audio = float(b.lengths.sum()) / sr
+                    if K > 1:
+                        buf = buffers.setdefault(b.bucket_frames, [])
+                        buf.append((b, audio))
+                        if len(buf) == K:
+                            q.put(
+                                (
+                                    prep_multi([x for x, _ in buf]),
+                                    K,
+                                    sum(a for _, a in buf),
+                                )
+                            )
+                            buffers[b.bucket_frames] = []
+                    else:
+                        q.put((prep_one(b), 1, audio))
+                # residual same-bucket groups smaller than K, one at a time
+                for buf in buffers.values():
+                    for b, audio in buf:
+                        q.put((prep_one(b), 1, audio))
+            except BaseException as e:  # surfaced to the consumer
+                q.put(e)
+            finally:
+                q.put(_SENTINEL)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
 
     def _dispatch_multi(self, bufs: list, epoch: int) -> None:
         """Stack K same-bucket loader batches to [K, B, L] and run them as
@@ -353,8 +435,7 @@ class Trainer:
         cached = isinstance(train_loader, DeviceCacheLoader)
         if cached:
             self._prepare_cached(train_loader)
-        disp_one = self._dispatch_cached_single if cached else self._dispatch_single
-        disp_multi = self._dispatch_cached_multi if cached else self._dispatch_multi
+        dispatch = self._dispatch_cached if cached else self._dispatch_host
         n_batches_total = len(train_loader)
         for epoch in range(self.start_epoch, epochs):
             train_loader.set_epoch(epoch)
@@ -363,26 +444,18 @@ class Trainer:
             self._pending = []
             self._steps_since_flush = 0
             self._flush_t0 = time.perf_counter()
-            buffers: dict = {}  # bucket_frames -> [batches] (K > 1)
             t_data = time.perf_counter()
-            for i, b in enumerate(train_loader):
+            steps_done = 0
+            for payload, k, audio_s in self._feed(train_loader, K, cached):
                 self.data_time.update(time.perf_counter() - t_data)
-                epoch_audio_s += float(b.lengths.sum()) / self.config.dsp.sample_rate
-                if K > 1:
-                    buf = buffers.setdefault(b.bucket_frames, [])
-                    buf.append(b)
-                    if len(buf) == K:
-                        disp_multi(buf, epoch)
-                        buffers[b.bucket_frames] = []
-                else:
-                    disp_one(b, epoch)
+                epoch_audio_s += audio_s
+                dispatch(payload, k, epoch)
+                steps_done += k
                 if self._steps_since_flush >= flush_every:
-                    self._flush_metrics(log, epoch, i + 1, n_batches_total)
+                    self._flush_metrics(
+                        log, epoch, steps_done, n_batches_total
+                    )
                 t_data = time.perf_counter()
-            # Residual same-bucket groups smaller than K run one at a time.
-            for buf in buffers.values():
-                for b in buf:
-                    disp_one(b, epoch)
             self._flush_metrics(log, epoch, n_batches_total, n_batches_total)
             wall = time.perf_counter() - epoch_t0
             log.info(
@@ -395,6 +468,10 @@ class Trainer:
             self.ckpt.save(epoch, self.state)
             if valid_loader is not None and (epoch + 1) % cfg.valid_every_epochs == 0:
                 self.validate(valid_loader, epoch, log)
+        # saves are async (overlapping epoch compute); barrier before
+        # returning so callers see durable checkpoints and interpreter
+        # shutdown cannot race the background commit
+        self.ckpt.wait()
         self.profiler.close()
 
     def validate(self, valid_loader: DataLoader, epoch: int, log=None):

@@ -302,6 +302,37 @@ def test_inference_engine_npz(tmp_path, corpus):
     assert np.all(np.isfinite(den))
 
 
+def test_train_cli_device_cache_e2e(tmp_path, corpus):
+    """`[data] use_device_cache` wired end-to-end through the train CLI:
+    main() builds the DeviceCacheLoader, the Trainer runs a cached epoch,
+    scalars and a checkpoint land on disk."""
+    from fullycnnspeechenhancement_tpu.cli import train as train_cli
+
+    cfg = tmp_path / "cache.cfg"
+    cfg.write_text(
+        "[training]\n"
+        "epochs = 1\nbatch_size = 2\nlr = 0.001\nwarmup_steps = 50\n"
+        "continue_train = False\nsteps_per_call = 2\n"
+        f"checkpoints_path = {tmp_path}/ckpts\n"
+        f"log_dir = {tmp_path}/logs\n"
+        "[model]\nnet_arch = RCED\nnet_work = FullyCNN\n"
+        "[data]\nsample_rate = 8000\n"
+        f"train_manifest_path = {corpus['clean']}\n"
+        f"train_noise_manifest = {corpus['noise']}\n"
+        # the corpus's shortest noise recording is 0.7 s; the cache only
+        # supports the random-crop branch (noise >= utterance), so cap
+        # utterance duration -- also exercises the min/max_duration keys
+        "snr = 0\nuse_device_cache = True\nmax_duration = 0.65\n"
+        f"audio_save_path = {tmp_path}/denoise\n"
+    )
+    train_cli.main(["--cfg", str(cfg), "--num-works", "1"])
+    scalars = glob.glob(str(tmp_path / "logs" / "scalars_*.jsonl"))
+    assert scalars
+    rows = [json.loads(l) for l in open(scalars[0])]
+    assert any("loss" in r for r in rows)
+    assert glob.glob(str(tmp_path / "ckpts" / "RCED_FullyCNN" / "*"))
+
+
 def test_stablehlo_export_roundtrip(tmp_path):
     from fullycnnspeechenhancement_tpu.export import (
         export_stablehlo,
