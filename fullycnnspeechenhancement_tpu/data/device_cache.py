@@ -227,10 +227,14 @@ class DeviceCorpus:
                 self.noise_host = None
             self.other_host = self.noise_host
         self.clean = self.clean_host.flat
+        # No-noise placeholder matches the clean rows' width so any slice
+        # the loader can legally issue against clean also fits here (a
+        # pad-only row crashed at trace time for utterances bucketed past
+        # max_bucket_frames).
         self.other = (
             self.other_host.flat
             if self.other_host is not None
-            else np.zeros((1, self.pad_samples), np.int16)
+            else np.zeros((1, self.clean_host.flat.shape[1]), np.int16)
         )
 
         # Lazy SNR power caches (see _ensure_power_caches): per-item
@@ -249,15 +253,25 @@ class DeviceCorpus:
             seg = self.clean_host.segment(i).astype(np.float32) / 32768.0
             p[i] = np.dot(seg.astype(np.float64), seg.astype(np.float64))
         self._p_sig = p
-        # noise cumulative squares per chunk row: p_noise of any crop is
-        # cs[c, s+L] - cs[c, s].  f64 table costs 4x the int16 flat but
-        # only over the (small) noise corpus, never the speech corpus.
-        nf = self.noise_host.flat.astype(np.float32) / 32768.0
-        sq = np.square(nf, dtype=np.float64)
-        self._noise_cumsq = np.concatenate(
-            [np.zeros((sq.shape[0], 1), np.float64), np.cumsum(sq, axis=1)],
-            axis=1,
+        # Noise cumulative squares: p_noise of any crop is
+        # cs[c, s+L] - cs[c, s].  The cumsum RESTARTS at every entry
+        # (crops never span entries), so partial magnitudes are bounded
+        # by one recording's power -- a whole-row cumsum approaching the
+        # 2^30-sample chunk budget would reach ~1e7-1e8 and cancel a
+        # quiet crop's ~1e-3 power down to percent-level error against
+        # the host path's direct sum, violating the parity contract.
+        # f64 table costs 4x the int16 flat but only over the (small)
+        # noise corpus, never the speech corpus.
+        nh = self.noise_host
+        cs = np.zeros(
+            (nh.flat.shape[0], nh.flat.shape[1] + 1), np.float64
         )
+        for c, o, ln in zip(nh.chunks, nh.offsets, nh.lengths):
+            seg = nh.flat[c, o : o + ln].astype(np.float32) / 32768.0
+            cs[c, o + 1 : o + ln + 1] = np.cumsum(
+                np.square(seg, dtype=np.float64)
+            )
+        self._noise_cumsq = cs
 
     def nbytes(self) -> int:
         return self.clean.nbytes + (
@@ -412,10 +426,11 @@ class DeviceCacheLoader:
         # slice start and silently prepend the previous entry's audio.
         # Refuse loudly instead.
         worst = 0
+        max_bs = 0
         for f, ln in zip(self._frames, corpus.item_lengths):
-            worst = max(
-                worst, dsp.padded_samples(self.bucket_for(f)) - int(ln)
-            )
+            bs = dsp.padded_samples(self.bucket_for(f))
+            worst = max(worst, bs - int(ln))
+            max_bs = max(max_bs, bs)
         if worst > corpus.pad_samples:
             raise ValueError(
                 f"corpus tail pad ({corpus.pad_samples} samples) is smaller "
@@ -424,6 +439,14 @@ class DeviceCacheLoader:
                 f"{max(self.bucket_for(f) for f in self._frames)} "
                 f"(build_device_corpus sizes the pad from it)"
             )
+        for name, arr in (("clean", corpus.clean), ("other", corpus.other)):
+            if self._frames and max_bs > arr.shape[1]:
+                raise ValueError(
+                    f"largest bucket slice ({max_bs} samples) exceeds the "
+                    f"{name} corpus chunk width ({arr.shape[1]}); rebuild "
+                    f"with max_bucket_frames >= "
+                    f"{max(self.bucket_for(f) for f in self._frames)}"
+                )
         self._epoch = 0
 
     def bucket_for(self, frames: int) -> int:

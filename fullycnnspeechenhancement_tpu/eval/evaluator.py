@@ -156,4 +156,10 @@ class Evaluator:
                         continue
                     for k, v in scores.items():
                         meters.setdefault(k, AverageMeter()).update(v)
-        return {k: m.avg for k, m in meters.items()}
+        # score_failures reports the (cumulative, when meters persist
+        # across validations) COUNT of skipped utterances -- averaging a
+        # stream of 1.0s would always read 1.0
+        return {
+            k: (m.sum if k == "score_failures" else m.avg)
+            for k, m in meters.items()
+        }

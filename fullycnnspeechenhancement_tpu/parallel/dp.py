@@ -131,22 +131,30 @@ def shard_stacked_meta(mesh, meta: Meta) -> Meta:
     return Meta(*(jax.device_put(x, sh) for x in meta))
 
 
-def _check_divisible(config: Config, mesh) -> None:
+def _check_divisible(config: Config, mesh, batch_size=None) -> None:
+    b = batch_size if batch_size is not None else config.train.batch_size
     n_data = mesh.shape[DATA_AXIS]
-    if config.train.batch_size % n_data:
+    if b % n_data:
         raise ValueError(
-            f"global batch {config.train.batch_size} not divisible by "
+            f"global batch {b} not divisible by "
             f"data-parallel degree {n_data}"
         )
 
 
 def make_parallel_cached_step(
-    config: Config, model: ModelDef, mesh, bucket_samples: int, premixed: bool
+    config: Config,
+    model: ModelDef,
+    mesh,
+    bucket_samples: int,
+    premixed: bool,
+    batch_size=None,
 ):
     """jit-compiled DP cached train step: state + corpus flats replicated,
     [B] metadata sharded over 'data'; batch materialization happens inside
-    the same SPMD program as the step."""
-    _check_divisible(config, mesh)
+    the same SPMD program as the step.  Pass `batch_size` when the
+    metadata batches differ from `config.train.batch_size` so the
+    divisibility check guards the ACTUAL [B] the step receives."""
+    _check_divisible(config, mesh, batch_size)
     step = make_cached_train_step(config, model, bucket_samples, premixed)
     repl = replicate(mesh)
     msh = batch_sharding(mesh)
@@ -159,11 +167,16 @@ def make_parallel_cached_step(
 
 
 def make_parallel_cached_multi_step(
-    config: Config, model: ModelDef, mesh, bucket_samples: int, premixed: bool
+    config: Config,
+    model: ModelDef,
+    mesh,
+    bucket_samples: int,
+    premixed: bool,
+    batch_size=None,
 ):
     """DP cached multi-step: scans K cached steps in one device call;
     metadata leaves are [K, B] (scan axis replicated, batch sharded)."""
-    _check_divisible(config, mesh)
+    _check_divisible(config, mesh, batch_size)
     multi = make_cached_multi_step(config, model, bucket_samples, premixed)
     repl = replicate(mesh)
     msh = stacked_batch_sharding(mesh)

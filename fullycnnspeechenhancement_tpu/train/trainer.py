@@ -223,6 +223,14 @@ class Trainer:
         return fn
 
     def _prepare_cached(self, loader: DeviceCacheLoader) -> None:
+        if loader.batch_size != self.config.train.batch_size:
+            raise ValueError(
+                f"DeviceCacheLoader batch size ({loader.batch_size}) must "
+                f"match config.train.batch_size "
+                f"({self.config.train.batch_size}): the compiled cached "
+                f"steps and the loss normalization assume the configured "
+                f"batch"
+            )
         self._cached_premixed = loader.corpus.premixed
         # Commit (idempotent) with the right placement: replicated over
         # the mesh under DP so SPMD sees mesh-resident flats.
@@ -303,12 +311,15 @@ class Trainer:
         prep_multi = self._prep_cached_multi if cached else self._prep_multi
         sr = self.config.dsp.sample_rate
         q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()
         _SENTINEL = object()
 
         def produce():
             try:
                 buffers: dict = {}
                 for b in train_loader:
+                    if stop.is_set():
+                        return
                     audio = float(b.lengths.sum()) / sr
                     if K > 1:
                         buf = buffers.setdefault(b.bucket_frames, [])
@@ -327,6 +338,8 @@ class Trainer:
                 # residual same-bucket groups smaller than K, one at a time
                 for buf in buffers.values():
                     for b, audio in buf:
+                        if stop.is_set():
+                            return
                         q.put((prep_one(b), 1, audio))
             except BaseException as e:  # surfaced to the consumer
                 q.put(e)
@@ -344,27 +357,16 @@ class Trainer:
                     raise item
                 yield item
         finally:
+            # On dispatch error / interruption: signal the producer so it
+            # abandons the rest of the epoch (it would otherwise decode
+            # and transfer every remaining batch before exiting), then
+            # drain so its blocked put() can observe the stop flag.
+            stop.set()
             while t.is_alive():
                 try:
                     q.get_nowait()
                 except queue.Empty:
                     t.join(timeout=0.1)
-
-    def _dispatch_multi(self, bufs: list, epoch: int) -> None:
-        """Stack K same-bucket loader batches to [K, B, L] and run them as
-        one scanned device call (train.step.make_multi_step)."""
-        batch = Batch(
-            jnp.asarray(np.stack([x.mix_wav for x in bufs])),
-            jnp.asarray(np.stack([x.clean_wav for x in bufs])),
-            jnp.asarray(np.stack([x.lengths for x in bufs])),
-            None
-            if bufs[0].wav_scale is None
-            else jnp.asarray(np.stack([x.wav_scale for x in bufs])),
-        )
-        if self.mesh is not None:
-            batch = shard_stacked_batch(self.mesh, batch)
-        self.state, packed = self._multi_step(self.state, batch)
-        self._note_steps(packed, len(bufs), epoch)
 
     def _note_steps(self, packed, n: int, epoch: int) -> None:
         """Record n dispatched steps' packed [n, 2] device metrics; the

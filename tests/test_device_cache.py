@@ -221,6 +221,21 @@ def test_chunked_corpus_matches_host_loader(corpus_dir):
         )
 
 
+def test_clean_only_corpus_materializes(corpus_dir):
+    """No-noise, non-premixed corpora (autoencoder mode: mix == clean)
+    must materialize through the placeholder `other` flat, whose rows
+    are sized like the clean rows so every legal bucket slice fits."""
+    corpus = build_device_corpus(corpus_dir["clean"], None, DSP, commit=False)
+    assert corpus.other.shape[1] == corpus.clean.shape[1]
+    loader = DeviceCacheLoader(corpus, DSP, 2, shuffle=False)
+    cb = next(iter(loader))
+    mix, clean = materialize_batch(
+        corpus.clean, corpus.other, cb, loader.pad_len(cb.bucket_frames), False
+    )
+    np.testing.assert_array_equal(np.asarray(mix), np.asarray(clean))
+    assert float(np.abs(np.asarray(clean)).max()) > 0
+
+
 def test_oversize_recording_rejected(tmp_path):
     p = str(tmp_path / "long.wav")
     write_wav(p, np.zeros(SR, np.float32), SR)

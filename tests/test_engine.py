@@ -333,6 +333,41 @@ def test_train_cli_device_cache_e2e(tmp_path, corpus):
     assert glob.glob(str(tmp_path / "ckpts" / "RCED_FullyCNN" / "*"))
 
 
+def test_test_and_infer_clis_e2e(tmp_path, corpus, capsys):
+    """cli.test and cli.infer drive their full surface on CPU: npz
+    checkpoint resolution, evaluation with metric printout, and the
+    `_de.wav` denoised-output convention (reference test.py:13-41,
+    infer.py:80-89)."""
+    from fullycnnspeechenhancement_tpu.cli import infer as infer_cli
+    from fullycnnspeechenhancement_tpu.cli import test as test_cli
+
+    model = get_model("FullyCNN")
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    npz = str(tmp_path / "w.npz")
+    export_params_npz(npz, params, bn_state)
+
+    cfg = tmp_path / "test.cfg"
+    cfg.write_text(
+        "[testing]\n"
+        f"checkpoint_filepath = {npz}\nbatch_size = 2\n"
+        "[model]\nnet_arch = RCED\nnet_work = FullyCNN\n"
+        "[training]\n"
+        f"log_dir = {tmp_path}/logs\n"
+        "[data]\nsample_rate = 8000\n"
+        f"test_manifest_path = {corpus['premixed']}\n"
+        f"audio_save_path = {tmp_path}/denoise\n"
+    )
+    test_cli.main(["--cfg", str(cfg), "--num-works", "1"])
+    out = capsys.readouterr().out
+    assert "stoi=" in out and "sdr=" in out
+    assert glob.glob(str(tmp_path / "denoise" / "*_de.wav"))
+
+    wav_in = glob.glob(os.path.dirname(corpus["premixed"]) + "/mix_*.wav")[0]
+    infer_cli.main(["--cfg", str(cfg), "--audio-file", wav_in])
+    out_path = capsys.readouterr().out.strip().splitlines()[-1]
+    assert out_path.endswith("_de.wav") and os.path.exists(out_path)
+
+
 def test_stablehlo_export_roundtrip(tmp_path):
     from fullycnnspeechenhancement_tpu.export import (
         export_stablehlo,
