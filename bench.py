@@ -467,17 +467,20 @@ def smoke():
         model = get_model("FullyCNNV2")
         state = create_train_state(config, model, jax.random.PRNGKey(0))
         bucket_samples = config.dsp.padded_samples(512)
+        # MULTI-chunk flat: exercises the 2-D (chunk, offset) addressing
+        # on the real backend at production batch shape (everything else
+        # in the tree only runs multi-chunk corpora on CPU).
         flat = jnp.asarray(
-            (rng.standard_normal((1, 2 * bucket_samples + 64)) * 8000).astype(
+            (rng.standard_normal((3, 2 * bucket_samples + 64)) * 8000).astype(
                 np.int16
             )
         )
         meta = Meta(
-            clean_chunk=jnp.zeros(64, jnp.int32),
+            clean_chunk=jnp.asarray(rng.integers(0, 3, 64), jnp.int32),
             clean_off=jnp.asarray(
                 rng.integers(0, bucket_samples, 64), jnp.int32
             ),
-            other_chunk=jnp.zeros(64, jnp.int32),
+            other_chunk=jnp.asarray(rng.integers(0, 3, 64), jnp.int32),
             other_off=jnp.asarray(
                 rng.integers(0, bucket_samples, 64), jnp.int32
             ),
