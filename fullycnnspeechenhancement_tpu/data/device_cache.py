@@ -99,6 +99,8 @@ class FlatCorpus(NamedTuple):
         sample_rate: int,
         pad_samples: int,
         chunk_limit: int = CHUNK_LIMIT_DEFAULT,
+        num_workers: int = 1,
+        use_native: bool = False,
     ) -> "FlatCorpus":
         pad = max(int(pad_samples), 1)
         if chunk_limit <= pad:
@@ -106,16 +108,34 @@ class FlatCorpus(NamedTuple):
                 f"chunk_limit ({chunk_limit}) must exceed the tail pad "
                 f"({pad})"
             )
-        bufs: List[np.ndarray] = []
-        for p in paths:
-            wav, _ = read_wav(p, sample_rate)
-            i16 = _to_i16(wav)
+
+        def decode(p: str) -> np.ndarray:
+            if use_native:
+                # GIL-free C++ decode+resample (runtime/fcse_runtime.cc):
+                # worker threads actually scale, which matters for a one-
+                # time pass over a 150 h corpus
+                from fullycnnspeechenhancement_tpu.data import native
+
+                wav, sr = native.decode_wav(p)
+                if sr != sample_rate:
+                    wav = native.resample(wav, sr, sample_rate)
+            else:
+                wav, _ = read_wav(p, sample_rate)
+            return _to_i16(wav)
+
+        if num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(num_workers) as pool:
+                bufs = list(pool.map(decode, paths))
+        else:
+            bufs = [decode(p) for p in paths]
+        for p, i16 in zip(paths, bufs):
             if len(i16) + pad > chunk_limit:
                 raise ValueError(
                     f"single recording {p} ({len(i16)} samples) exceeds the "
                     f"chunk budget ({chunk_limit - pad}); raise chunk_limit"
                 )
-            bufs.append(i16)
         # Greedy row packing under the chunk budget (entries never split).
         chunks = np.zeros(len(bufs), np.int32)
         offsets = np.zeros(len(bufs), np.int32)
@@ -172,6 +192,8 @@ class DeviceCorpus:
         snr_db: float,
         seed: int,
         chunk_limit: int = CHUNK_LIMIT_DEFAULT,
+        num_workers: int = 1,
+        use_native: bool = False,
     ):
         self.entries = entries
         self.sample_rate = sample_rate
@@ -179,18 +201,22 @@ class DeviceCorpus:
         self.seed = seed
         self.pad_samples = max(int(pad_samples), 1)
         self.premixed = bool(entries and entries[0].is_premixed)
+        import functools
+
+        build = functools.partial(
+            FlatCorpus.build,
+            sample_rate=sample_rate,
+            pad_samples=self.pad_samples,
+            chunk_limit=chunk_limit,
+            num_workers=num_workers,
+            use_native=use_native,
+        )
         if self.premixed:
-            self.clean_host = FlatCorpus.build(
-                [e.clean_audio_filepath for e in entries],
-                sample_rate,
-                self.pad_samples,
-                chunk_limit,
+            self.clean_host = build(
+                [e.clean_audio_filepath for e in entries]
             )
-            self.other_host = FlatCorpus.build(
-                [e.mix_audio_filepath for e in entries],
-                sample_rate,
-                self.pad_samples,
-                chunk_limit,
+            self.other_host = build(
+                [e.mix_audio_filepath for e in entries]
             )
             # premixed pairs truncate to the shorter of (clean, mix),
             # matching SpeechDataset.__getitem__
@@ -199,19 +225,11 @@ class DeviceCorpus:
             )
             self.noise_host = None
         else:
-            self.clean_host = FlatCorpus.build(
-                [e.audio_filepath for e in entries],
-                sample_rate,
-                self.pad_samples,
-                chunk_limit,
-            )
+            self.clean_host = build([e.audio_filepath for e in entries])
             self.item_lengths = self.clean_host.lengths.copy()
             if noise_entries:
-                self.noise_host = FlatCorpus.build(
-                    [e.audio_filepath for e in noise_entries],
-                    sample_rate,
-                    self.pad_samples,
-                    chunk_limit,
+                self.noise_host = build(
+                    [e.audio_filepath for e in noise_entries]
                 )
                 short = self.noise_host.lengths.min()
                 need = self.item_lengths.max()
@@ -538,5 +556,7 @@ def build_device_corpus(
         snr_db=snr,
         seed=seed,
         chunk_limit=chunk_limit,
+        num_workers=(data.num_workers if data else 1),
+        use_native=(data.use_native if data else False),
     )
     return corpus.commit(sharding) if commit else corpus

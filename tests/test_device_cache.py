@@ -236,6 +236,24 @@ def test_clean_only_corpus_materializes(corpus_dir):
     assert float(np.abs(np.asarray(clean)).max()) > 0
 
 
+def test_parallel_build_matches_sequential(corpus_dir):
+    """Threaded corpus decode (num_workers>1, order-preserving pool.map)
+    produces a bit-identical FlatCorpus to the sequential build; native
+    decode path too when the C++ runtime is available."""
+    entries = read_manifest(corpus_dir["clean"])
+    paths = [e.audio_filepath for e in entries]
+    seq = FlatCorpus.build(paths, SR, 64)
+    par = FlatCorpus.build(paths, SR, 64, num_workers=4)
+    np.testing.assert_array_equal(seq.flat, par.flat)
+    np.testing.assert_array_equal(seq.offsets, par.offsets)
+    from fullycnnspeechenhancement_tpu.data import native
+
+    if native.native_available():
+        nat = FlatCorpus.build(paths, SR, 64, num_workers=4, use_native=True)
+        # int16 wav sources decode bit-identically through both decoders
+        np.testing.assert_array_equal(seq.flat, nat.flat)
+
+
 def test_oversize_recording_rejected(tmp_path):
     p = str(tmp_path / "long.wav")
     write_wav(p, np.zeros(SR, np.float32), SR)
