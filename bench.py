@@ -528,6 +528,48 @@ def smoke():
     print("smoke: all Pallas paths compile + run on the real backend")
 
 
+# Transient backend failures (tunnel flap / chip reset) present as
+# FAILED_PRECONDITION / UNAVAILABLE and have been observed to null EVERY
+# section of an otherwise-green bench (round 4); retry such sections once
+# after a cool-down instead of recording nothing.
+TRANSIENT_MARKERS = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED")
+
+
+def run_section(name, fn, errors, retry_sleep_s=60):
+    import sys
+
+    print(f"bench: {name} ...", file=sys.stderr, flush=True)
+    for attempt in (1, 2):
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+            print(
+                f"bench: {name} done in {time.perf_counter() - t0:.0f}s",
+                file=sys.stderr,
+                flush=True,
+            )
+            return r
+        except Exception as e:  # noqa: BLE001
+            msg = f"{type(e).__name__}: {e}"[:300]
+            transient = any(t in msg for t in TRANSIENT_MARKERS)
+            print(
+                f"bench: {name} FAILED (attempt {attempt}): {msg}",
+                file=sys.stderr,
+                flush=True,
+            )
+            if attempt == 1 and transient:
+                print(
+                    f"bench: {name} transient backend error; retrying in "
+                    f"{retry_sleep_s}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                time.sleep(retry_sleep_s)
+                continue
+            errors[name] = msg
+            return None
+
+
 def main():
     import faulthandler
     import sys
@@ -547,24 +589,7 @@ def main():
     errors = {}
 
     def _run(name, fn):
-        print(f"bench: {name} ...", file=sys.stderr, flush=True)
-        t0 = time.perf_counter()
-        try:
-            r = fn()
-            print(
-                f"bench: {name} done in {time.perf_counter() - t0:.0f}s",
-                file=sys.stderr,
-                flush=True,
-            )
-            return r
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(
-                f"bench: {name} FAILED: {errors[name]}",
-                file=sys.stderr,
-                flush=True,
-            )
-            return None
+        return run_section(name, fn, errors)
 
     scanned = _run("train_scanned", bench_tpu)
     # The PRODUCTION path: device-resident corpus cache, per-step H2D is

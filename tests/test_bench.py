@@ -27,6 +27,42 @@ def test_bench_trainer_loop_modes_run(mode):
     assert rate > 0.0
 
 
+def test_run_section_retries_transient_and_records_hard_failures():
+    """Section runner: one retry on transient backend markers (a tunnel
+    flap nulled every section of an otherwise-green bench in round 4),
+    no retry on ordinary exceptions, error text recorded either way."""
+    import bench
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("FAILED_PRECONDITION: TPU backend error")
+        return 42.0
+
+    errors = {}
+    assert bench.run_section("s", flaky, errors, retry_sleep_s=0) == 42.0
+    assert calls["n"] == 2 and not errors
+
+    def hard():
+        raise ValueError("shape mismatch")
+
+    errors = {}
+    assert bench.run_section("h", hard, errors, retry_sleep_s=0) is None
+    assert "shape mismatch" in errors["h"]
+
+    def always_transient():
+        raise RuntimeError("UNAVAILABLE: socket closed")
+
+    errors = {}
+    assert (
+        bench.run_section("t", always_transient, errors, retry_sleep_s=0)
+        is None
+    )
+    assert "UNAVAILABLE" in errors["t"]
+
+
 def test_bench_smoke_meta():
     """The smoke gate's section list must keep covering every Pallas/
     production path named in PERF_NOTES (cheap string check -- the real
