@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -70,7 +71,11 @@ def main(argv=None):
     wall = time.perf_counter() - t0
 
     denoised = np.concatenate(out)[: len(wav)]
-    out_path = args.audio_file.replace(".wav", "_de.wav")
+    # splitext keeps this safe for non-".wav" extensions / extension-less
+    # inputs (a bare str.replace could no-op and overwrite the input) and
+    # never touches directory components
+    base, ext = os.path.splitext(args.audio_file)
+    out_path = base + "_de" + (ext or ".wav")
     write_wav(out_path, denoised, sr)
 
     times_ms = np.asarray(times) * 1e3

@@ -271,25 +271,31 @@ class DeviceCorpus:
             seg = self.clean_host.segment(i).astype(np.float32) / 32768.0
             p[i] = np.dot(seg.astype(np.float64), seg.astype(np.float64))
         self._p_sig = p
-        # Noise cumulative squares: p_noise of any crop is
-        # cs[c, s+L] - cs[c, s].  The cumsum RESTARTS at every entry
-        # (crops never span entries), so partial magnitudes are bounded
-        # by one recording's power -- a whole-row cumsum approaching the
-        # 2^30-sample chunk budget would reach ~1e7-1e8 and cancel a
-        # quiet crop's ~1e-3 power down to percent-level error against
-        # the host path's direct sum, violating the parity contract.
-        # f64 table costs 4x the int16 flat but only over the (small)
-        # noise corpus, never the speech corpus.
+        # Noise cumulative squares, ONE TABLE PER RECORDING: p_noise of a
+        # crop [start, start+L) of noise ni is cum[ni][start+L] -
+        # cum[ni][start] with entry-local indices.  Per-entry tables (a)
+        # bound cumsum partials by one recording's power (a whole-row
+        # cumsum near the 2^30-sample chunk budget would cancel a quiet
+        # crop's power to percent-level error vs the host path's direct
+        # sum) and (b) avoid the row-index collision of an in-row
+        # restarted cumsum, where position o is simultaneously "end of
+        # the previous recording" and "start of the next" -- that layout
+        # made every start=0 crop of a non-first recording subtract the
+        # previous recording's full power (wrong/negative scales,
+        # silently un-noised batches).  f64 cost is 4x the int16 flat,
+        # but only over the (small) noise corpus, never the speech corpus.
         nh = self.noise_host
-        cs = np.zeros(
-            (nh.flat.shape[0], nh.flat.shape[1] + 1), np.float64
-        )
+        self._noise_cumsq = []
         for c, o, ln in zip(nh.chunks, nh.offsets, nh.lengths):
             seg = nh.flat[c, o : o + ln].astype(np.float32) / 32768.0
-            cs[c, o + 1 : o + ln + 1] = np.cumsum(
-                np.square(seg, dtype=np.float64)
+            self._noise_cumsq.append(
+                np.concatenate(
+                    [
+                        np.zeros(1, np.float64),
+                        np.cumsum(np.square(seg, dtype=np.float64)),
+                    ]
+                )
             )
-        self._noise_cumsq = cs
 
     def nbytes(self) -> int:
         return self.clean.nbytes + (
@@ -353,9 +359,8 @@ class DeviceCorpus:
             start = int(rng.integers(0, n_len - L))
         p_sig = float(self._p_sig[index])
         s0 = no_base + start
-        p_noise = float(
-            self._noise_cumsq[oc, s0 + L] - self._noise_cumsq[oc, s0]
-        )
+        cum = self._noise_cumsq[ni]  # entry-local indices
+        p_noise = float(cum[start + L] - cum[start])
         if p_noise <= 0.0:
             return cc, co, oc, s0, 0.0
         scale = np.sqrt(

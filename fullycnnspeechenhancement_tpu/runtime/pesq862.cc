@@ -386,12 +386,14 @@ int64_t utterance_delay(const std::vector<double>& ref,
   return best;
 }
 
-// Apply the time alignment: global delay `g` for inter-utterance
-// regions, per-utterance delays (searched around g, +-radius) for the
-// speech itself, ALL read from the ORIGINAL degraded signal -- a
-// physical global shift followed by per-utterance re-shifts would
-// discard real content at the array ends twice.  Returns the aligned
-// degraded timeline (same length as ref).
+// Apply the time alignment, all in one read from the ORIGINAL degraded
+// signal (a physical global shift followed by per-utterance re-shifts
+// would discard real content at the array ends twice).  <2 utterances:
+// the constant global delay `g`.  Otherwise every sample takes the
+// delay of its NEAREST utterance (piecewise-constant delay field; the
+// per-utterance delays are searched +-radius around g), so silence
+// between utterances never reads the degraded file at an unrelated
+// offset.  Returns the aligned degraded timeline (same length as ref).
 std::vector<double> align_degraded(const std::vector<double>& ref,
                                    const std::vector<double>& deg,
                                    int64_t g) {
@@ -401,12 +403,15 @@ std::vector<double> align_degraded(const std::vector<double>& ref,
     return (j >= 0 && j < (int64_t)deg.size()) ? deg[(size_t)j] : 0.0;
   };
   std::vector<double> out(ref.size());
-  for (size_t i = 0; i < ref.size(); i++) out[i] = read_shifted((int64_t)i, g);
   const std::vector<Utterance> utts = segment_utterances(ref);
   if (dbg)
     std::fprintf(stderr, "pesq-debug: global %lld, %zu utterances\n",
                  (long long)g, utts.size());
-  if (utts.size() < 2) return out;  // constant delay == global alignment
+  if (utts.size() < 2) {  // constant delay == global alignment
+    for (size_t i = 0; i < ref.size(); i++)
+      out[i] = read_shifted((int64_t)i, g);
+    return out;
+  }
   std::vector<int64_t> delays(utts.size());
   for (size_t k = 0; k < utts.size(); k++) {
     delays[k] = utterance_delay(ref, deg, utts[k], g, 800 /* +-100 ms */);

@@ -221,6 +221,54 @@ def test_chunked_corpus_matches_host_loader(corpus_dir):
         )
 
 
+def test_equal_length_noise_start_zero_crop_matches_host(tmp_path):
+    """Regression (r4 review): a crop at start=0 of a NON-FIRST noise
+    recording in a chunk row must use that recording's own power.  The
+    earlier in-row restarted cumsum collided at entry boundaries
+    (position o = end-of-previous AND start-of-next), so every
+    equal-length pairing (n_len == L forces start=0) subtracted the
+    previous recording's full power -- wrong/negative scale, silently
+    un-noised batches."""
+    dur = 1.0
+    entries = []
+    for i in range(4):
+        p = str(tmp_path / f"c{i}.wav")
+        write_wav(p, _sine(dur, 300 + 50 * i), SR)
+        entries.append({"audio_filepath": p, "duration": dur})
+    write_manifest(str(tmp_path / "m.clean"), entries)
+    rng = np.random.default_rng(5)
+    noise_entries = []
+    for i in range(3):  # several recordings -> same chunk row
+        p = str(tmp_path / f"n{i}.wav")
+        write_wav(
+            p,
+            (0.2 * rng.standard_normal(int(dur * SR))).astype(np.float32),
+            SR,
+        )
+        noise_entries.append({"audio_filepath": p, "duration": dur})
+    write_manifest(str(tmp_path / "m.noise"), noise_entries)
+
+    corpus = build_device_corpus(
+        str(tmp_path / "m.clean"), str(tmp_path / "m.noise"), DSP,
+        commit=False,
+    )
+    assert len(set(corpus.noise_host.chunks.tolist())) == 1  # one row
+    host = _host_batches(str(tmp_path / "m.clean"), str(tmp_path / "m.noise"), 2, 0)
+    loader, cached = _cached_batches(corpus, 2, 0)
+    # all pairings are equal-length -> every crop starts at 0 and scales
+    # must be finite and positive
+    for cb in cached:
+        assert (cb.scale > 0).all(), cb.scale
+    for hb, cb in zip(host, cached):
+        mix, clean = materialize_batch(
+            corpus.clean, corpus.other, cb,
+            loader.pad_len(cb.bucket_frames), False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mix), hb.mix_wav, rtol=0, atol=1e-6
+        )
+
+
 def test_clean_only_corpus_materializes(corpus_dir):
     """No-noise, non-premixed corpora (autoencoder mode: mix == clean)
     must materialize through the placeholder `other` flat, whose rows
