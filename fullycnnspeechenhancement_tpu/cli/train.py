@@ -25,30 +25,63 @@ def build_loaders(config: Config, num_workers: int):
         # Device-resident corpus + on-device mixing: the Trainer commits
         # the flats and fuses batch materialization into the train step
         # (steady-state H2D = [B] metadata).  The corpus build decodes the
-        # full (host-sharded) corpus once up front.
+        # full (host-sharded) corpus once up front.  A corpus estimated
+        # past [data] device_cache_budget_gb rotates shards through HBM
+        # instead (RotatingDeviceCacheLoader).
         from fullycnnspeechenhancement_tpu.data.device_cache import (
             DeviceCacheLoader,
+            RotatingDeviceCacheLoader,
             build_device_corpus,
         )
+        from fullycnnspeechenhancement_tpu.data.manifest import read_manifest
 
-        corpus = build_device_corpus(
-            config.data.train_manifest_path,
-            config.data.train_noise_manifest,
-            config.dsp,
-            config.data,
-            host_index=hi,
-            host_count=hc,
-            max_bucket_frames=max(config.data.bucket_frames),
-            commit=False,  # Trainer commits with the mesh-aware placement
-        )
-        train_loader = DeviceCacheLoader(
-            corpus,
-            config.dsp,
-            config.train.batch_size,
-            bucket_frames=config.data.bucket_frames,
-            shuffle=True,
-            seed=config.data.seed,
-        )
+        budget_gb = config.data.device_cache_budget_gb
+        est_bytes = 0
+        if budget_gb > 0:
+            entries = read_manifest(
+                config.data.train_manifest_path,
+                config.data.min_duration,
+                config.data.max_duration,
+            )
+            per = 2 * (2 if entries and entries[0].is_premixed else 1)
+            est_bytes = sum(
+                int(e.duration * config.dsp.sample_rate) * per
+                for e in entries
+            ) // max(hc, 1)
+        if budget_gb > 0 and est_bytes > budget_gb * (1 << 30):
+            train_loader = RotatingDeviceCacheLoader(
+                config.data.train_manifest_path,
+                config.data.train_noise_manifest,
+                config.dsp,
+                config.train.batch_size,
+                data=config.data,
+                hbm_budget_bytes=int(budget_gb * (1 << 30)),
+                host_index=hi,
+                host_count=hc,
+                bucket_frames=config.data.bucket_frames,
+                shuffle=True,
+                seed=config.data.seed,
+                spill_dir=config.data.device_cache_spill_dir or None,
+            )
+        else:
+            corpus = build_device_corpus(
+                config.data.train_manifest_path,
+                config.data.train_noise_manifest,
+                config.dsp,
+                config.data,
+                host_index=hi,
+                host_count=hc,
+                max_bucket_frames=max(config.data.bucket_frames),
+                commit=False,  # Trainer commits with mesh-aware placement
+            )
+            train_loader = DeviceCacheLoader(
+                corpus,
+                config.dsp,
+                config.train.batch_size,
+                bucket_frames=config.data.bucket_frames,
+                shuffle=True,
+                seed=config.data.seed,
+            )
     else:
         train_ds = SpeechDataset.from_config(
             config.data, config.dsp, "train", host_index=hi, host_count=hc

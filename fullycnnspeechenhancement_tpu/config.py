@@ -179,6 +179,16 @@ class DataConfig:
     # fit HBM (~16 kB per audio-second) and the random-crop mixing branch
     # (noise recordings >= utterances); falls back loudly otherwise.
     use_device_cache: bool = False
+    # HBM budget (GiB) for the device cache.  0 = whole corpus resident
+    # (plain DeviceCacheLoader).  >0 and the corpus estimate exceeds it:
+    # the ROTATING cache shards the corpus under the budget and rotates
+    # shards through HBM per epoch (metadata-only steady state + one
+    # flats transfer per shard per epoch).  Keep <= ~40% of free HBM --
+    # two shards are briefly co-resident during rotation.
+    device_cache_budget_gb: float = 0.0
+    # Spill rotating-cache shard flats to disk memmaps under this dir so
+    # host RAM holds at most one staged shard (empty = keep in RAM).
+    device_cache_spill_dir: str = ""
     # Ship host-loader waveforms as int16 and cast on device: halves the
     # host->device bytes for corpora too large for the device cache.
     # Costs one int16 quantization (-96 dBFS) on float sources.
@@ -300,6 +310,12 @@ def load_ini_config(path: str) -> Config:
         use_device_cache=str(
             _get(cp, "data", "use_device_cache", "False")
         ).lower() in ("1", "true", "yes"),
+        device_cache_budget_gb=float(
+            _get(cp, "data", "device_cache_budget_gb", 0.0)
+        ),
+        device_cache_spill_dir=_get(
+            cp, "data", "device_cache_spill_dir", ""
+        ),
         int16_transport=str(
             _get(cp, "data", "int16_transport", "False")
         ).lower() in ("1", "true", "yes"),

@@ -32,6 +32,7 @@ from fullycnnspeechenhancement_tpu.data.device_cache import (  # noqa: F401
     CachedBatch,
     DeviceCacheLoader,
     DeviceCorpus,
+    RotatingDeviceCacheLoader,
     build_device_corpus,
     materialize_batch,
 )

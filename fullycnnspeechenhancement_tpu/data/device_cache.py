@@ -47,6 +47,7 @@ feed_dict, `data_utils/data_loader.py:192-225`).
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
@@ -479,6 +480,20 @@ class DeviceCacheLoader:
         top = self.boundaries[-1]
         return ((frames + top - 1) // top) * top
 
+    # -- common cached-loader surface (shared with the rotating loader) --
+
+    @property
+    def premixed(self) -> bool:
+        return self.corpus.premixed
+
+    def activate(self, sharding=None) -> None:
+        """Commit the corpus flats to device (idempotent)."""
+        self.corpus.commit(sharding)
+
+    def flats(self):
+        """(clean_flat, other_flat) backing the CURRENT batches."""
+        return self.corpus.clean, self.corpus.other
+
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
@@ -565,3 +580,227 @@ def build_device_corpus(
         use_native=(data.use_native if data else False),
     )
     return corpus.commit(sharding) if commit else corpus
+
+
+class RotatingDeviceCacheLoader:
+    """Epoch-partitioned device cache for corpora LARGER than HBM.
+
+    The (host-sharded) manifest splits into shards whose int16 flats fit
+    `hbm_budget_bytes`; every shard is decoded ONCE up front (optionally
+    spilled to disk as numpy memmaps so host RAM holds at most one shard)
+    and rotated through HBM during the epoch: commit shard, train its
+    batches, release, next.  Every shard commits at ONE common flat shape
+    (a shared zero-padded staging buffer), so each (bucket, K) train step
+    compiles once and is reused across shards and epochs.
+
+    Contract: each shard behaves exactly like a `DeviceCacheLoader` over
+    its sub-manifest (same bucketing / static batching / on-device mixing
+    semantics; RNG streams are seeded per shard).  An epoch visits every
+    item exactly once (plus per-shard static-batch tail repeats), with
+    shard order reshuffled per epoch.  Steady-state H2D = per-batch
+    metadata plus ONE flats transfer per shard per epoch -- i.e. 16 kB
+    per audio-second once per epoch, vs the host-fed loader's 32 kB per
+    audio-second EVERY step.
+
+    Sizing: keep `hbm_budget_bytes` at <= ~40% of free HBM -- during a
+    rotation the previous shard's flats stay referenced by up-to-
+    queue-depth in-flight batches while the next shard commits, so two
+    shards are briefly resident.
+
+    The reference has no counterpart at any scale (single-GPU feed_dict,
+    `/root/reference/model_utils/trainer.py:181-192`); this is the
+    device-cache design extended past HBM capacity (aishell_2's ~1000 h
+    train split is ~60 GB int16 against 16 GB of v5e HBM).
+    """
+
+    def __init__(
+        self,
+        manifest_path: str,
+        noise_manifest: Optional[str],
+        dsp: DSPConfig,
+        batch_size: int,
+        data: Optional[DataConfig] = None,
+        hbm_budget_bytes: int = 6 << 30,
+        host_index: int = 0,
+        host_count: int = 1,
+        bucket_frames: Sequence[int] = (64, 128, 192, 256, 384, 512, 768, 1024),
+        shuffle: bool = True,
+        seed: int = 0,
+        spill_dir: Optional[str] = None,
+        max_bucket_frames: Optional[int] = None,
+        chunk_limit: int = CHUNK_LIMIT_DEFAULT,
+    ):
+        min_d = data.min_duration if data else 0.4
+        max_d = data.max_duration if data else float("inf")
+        self.snr = data.snr if data else 0.0
+        self.seed = seed if data is None else data.seed
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.dsp = dsp
+        entries = shard_for_host(
+            read_manifest(manifest_path, min_d, max_d), host_index, host_count
+        )
+        if not entries:
+            raise ValueError(f"empty manifest {manifest_path}")
+        noise_entries = (
+            read_manifest(noise_manifest) if noise_manifest else None
+        )
+        mbf = max_bucket_frames or max(bucket_frames)
+        pad = dsp.padded_samples(mbf)
+
+        # Greedy split by estimated int16 bytes (manifest durations; the
+        # exact decoded lengths differ by at most resampling rounding,
+        # covered by the 5% slack).
+        budget = int(hbm_budget_bytes * 0.95)
+        shards: List[List[ManifestEntry]] = [[]]
+        acc = 0
+        for e in entries:
+            nbytes = int(e.duration * dsp.sample_rate) * 2 * (
+                2 if e.is_premixed else 1
+            )
+            if shards[-1] and acc + nbytes > budget:
+                shards.append([])
+                acc = 0
+            shards[-1].append(e)
+            acc += nbytes
+
+        num_workers = data.num_workers if data else 1
+        use_native = data.use_native if data else False
+        self._corpora: List[DeviceCorpus] = []
+        self._loaders: List[DeviceCacheLoader] = []
+        for si, shard_entries in enumerate(shards):
+            corpus = DeviceCorpus(
+                shard_entries,
+                noise_entries,
+                dsp.sample_rate,
+                pad_samples=pad,
+                snr_db=self.snr,
+                # distinct per-shard RNG streams (pairing + crop draws)
+                seed=(self.seed * 1_000_003 + si) & 0x7FFFFFFF,
+                chunk_limit=chunk_limit,
+                num_workers=num_workers,
+                use_native=use_native,
+            )
+            if spill_dir is not None:
+                os.makedirs(spill_dir, exist_ok=True)
+                corpus.clean = _spill(
+                    corpus.clean, os.path.join(spill_dir, f"clean_{si}.npy")
+                )
+                corpus.other = _spill(
+                    corpus.other, os.path.join(spill_dir, f"other_{si}.npy")
+                )
+            self._corpora.append(corpus)
+            self._loaders.append(
+                DeviceCacheLoader(
+                    corpus,
+                    dsp,
+                    batch_size,
+                    bucket_frames=bucket_frames,
+                    shuffle=shuffle,
+                    seed=(self.seed * 1_000_003 + si) & 0x7FFFFFFF,
+                )
+            )
+        self.premixed = self._corpora[0].premixed
+        if any(c.premixed != self.premixed for c in self._corpora):
+            raise ValueError("mixed premixed/non-premixed shards")
+
+        # One common commit shape per flat kind: shards pad into a shared
+        # host staging buffer so the jitted steps see ONE shape.
+        self._clean_shape = (
+            max(c.clean.shape[0] for c in self._corpora),
+            max(c.clean.shape[1] for c in self._corpora),
+        )
+        self._other_shape = (
+            max(c.other.shape[0] for c in self._corpora),
+            max(c.other.shape[1] for c in self._corpora),
+        )
+        self._stage_clean = np.zeros(self._clean_shape, np.int16)
+        self._stage_other = np.zeros(self._other_shape, np.int16)
+        self._sharding = None
+        self._resident: Optional[int] = None
+        self._flats = None
+        self._epoch = 0
+
+    # -- common cached-loader surface ------------------------------------
+
+    def activate(self, sharding=None) -> None:
+        """Record the device placement; flats commit lazily per rotation."""
+        self._sharding = sharding
+
+    def flats(self):
+        if self._flats is None:
+            raise RuntimeError(
+                "no shard resident; iterate the loader (flats are "
+                "committed per rotation)"
+            )
+        return self._flats
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        return sum(len(ld) for ld in self._loaders)
+
+    def pad_len(self, bucket_frames: int) -> int:
+        return self.dsp.padded_samples(bucket_frames)
+
+    @property
+    def num_shards(self) -> int:
+        return len(self._corpora)
+
+    def nbytes_resident(self) -> int:
+        return (
+            int(np.prod(self._clean_shape)) + int(np.prod(self._other_shape))
+        ) * 2
+
+    # -- rotation ---------------------------------------------------------
+
+    def _commit_shard(self, si: int) -> None:
+        if self._resident == si:
+            return
+        c = self._corpora[si]
+
+        def staged(src, stage):
+            if src.shape == stage.shape:
+                buf = np.asarray(src)
+            else:
+                stage[...] = 0
+                stage[: src.shape[0], : src.shape[1]] = src
+                buf = stage
+            if self._sharding is not None:
+                return jax.device_put(jnp.asarray(buf), self._sharding)
+            return jax.device_put(jnp.asarray(buf))
+
+        # Drop our references to the previous shard's device flats FIRST:
+        # in-flight prepped batches keep it alive until dispatched, after
+        # which HBM frees -- see the sizing note in the class docstring.
+        self._flats = None
+        self._resident = None
+        self._flats = (
+            staged(c.clean, self._stage_clean),
+            staged(c.other, self._stage_other),
+        )
+        self._resident = si
+
+    def __iter__(self):
+        rng = np.random.default_rng((self.seed, self._epoch, 7919))
+        order = np.arange(self.num_shards)
+        if self.shuffle:
+            rng.shuffle(order)
+        for si in order:
+            self._commit_shard(int(si))
+            sub = self._loaders[int(si)]
+            sub.set_epoch(self._epoch)
+            yield from sub
+
+
+def _spill(arr: np.ndarray, path: str) -> np.ndarray:
+    """Write `arr` to a disk-backed numpy memmap and return the memmap
+    (the RAM copy becomes collectable): host RAM then holds at most the
+    staging buffer + one shard page cache, not the whole corpus."""
+    mm = np.lib.format.open_memmap(
+        path, mode="w+", dtype=arr.dtype, shape=arr.shape
+    )
+    mm[...] = arr
+    mm.flush()
+    return mm

@@ -40,6 +40,7 @@ from fullycnnspeechenhancement_tpu.config import Config
 from fullycnnspeechenhancement_tpu.data.device_cache import (
     CachedBatch,
     DeviceCacheLoader,
+    RotatingDeviceCacheLoader,
 )
 from fullycnnspeechenhancement_tpu.data.loader import DataLoader, LoaderBatch
 from fullycnnspeechenhancement_tpu.eval.evaluator import Evaluator
@@ -109,7 +110,7 @@ class Trainer:
 
         self._cached_fns: dict = {}
         self._cached_premixed = False
-        self._cached_flats = None
+        self._cached_loader = None
 
         self.state = create_train_state(
             config, self.model, jax.random.PRNGKey(config.train.seed)
@@ -222,37 +223,48 @@ class Trainer:
             self._cached_fns[key] = fn
         return fn
 
-    def _prepare_cached(self, loader: DeviceCacheLoader) -> None:
+    def _prepare_cached(self, loader) -> None:
         if loader.batch_size != self.config.train.batch_size:
             raise ValueError(
-                f"DeviceCacheLoader batch size ({loader.batch_size}) must "
+                f"cached loader batch size ({loader.batch_size}) must "
                 f"match config.train.batch_size "
                 f"({self.config.train.batch_size}): the compiled cached "
                 f"steps and the loss normalization assume the configured "
                 f"batch"
             )
-        self._cached_premixed = loader.corpus.premixed
-        # Commit (idempotent) with the right placement: replicated over
-        # the mesh under DP so SPMD sees mesh-resident flats.
+        self._cached_premixed = loader.premixed
+        self._cached_loader = loader
+        # Activate with the right placement: replicated over the mesh
+        # under DP so SPMD sees mesh-resident flats.  The plain loader
+        # commits now; the rotating loader commits per shard rotation.
         sharding = replicate(self.mesh) if self.mesh is not None else None
-        loader.corpus.commit(sharding)
-        self._cached_flats = (loader.corpus.clean, loader.corpus.other)
+        loader.activate(sharding)
 
-    def _prep_cached_single(self, b: CachedBatch):
+    def _prep_cached_single(self, b: CachedBatch, flats=None):
         meta = Meta.from_batch(b)
         if self.mesh is not None:
             meta = shard_meta(self.mesh, meta)
-        return (b.bucket_frames, meta)
+        # `flats` is captured by the feeder the moment the loader yields
+        # the batch: under the rotating loader flats change mid-epoch,
+        # and a batch must ride with the shard that produced it
+        return (
+            b.bucket_frames,
+            meta,
+            flats if flats is not None else self._cached_loader.flats(),
+        )
 
-    def _prep_cached_multi(self, bufs: list):
+    def _prep_cached_multi(self, bufs: list, flats=None):
         meta = Meta.stack(bufs)
         if self.mesh is not None:
             meta = shard_stacked_meta(self.mesh, meta)
-        return (bufs[0].bucket_frames, meta)
+        return (
+            bufs[0].bucket_frames,
+            meta,
+            flats if flats is not None else self._cached_loader.flats(),
+        )
 
     def _dispatch_cached(self, payload, k: int, epoch: int) -> None:
-        bucket_frames, meta = payload
-        clean_flat, other_flat = self._cached_flats
+        bucket_frames, meta, (clean_flat, other_flat) = payload
         self.state, out = self._cached_fn(bucket_frames, k)(
             self.state, clean_flat, other_flat, meta
         )
@@ -316,31 +328,47 @@ class Trainer:
 
         def produce():
             try:
+                # K>1 groups are keyed by (bucket, flats identity): under
+                # the rotating cache a scanned group must never mix
+                # batches whose metadata indexes different shards' flats
                 buffers: dict = {}
                 for b in train_loader:
                     if stop.is_set():
                         return
+                    # capture flats NOW: the loader only rotates when its
+                    # generator is advanced again, so these are b's flats
+                    fl = self._cached_loader.flats() if cached else None
                     audio = float(b.lengths.sum()) / sr
                     if K > 1:
-                        buf = buffers.setdefault(b.bucket_frames, [])
-                        buf.append((b, audio))
+                        key = (
+                            b.bucket_frames,
+                            id(fl[0]) if fl is not None else 0,
+                        )
+                        buf = buffers.setdefault(key, [])
+                        buf.append((b, audio, fl))
                         if len(buf) == K:
+                            args = ([x for x, _, _ in buf],)
+                            if cached:
+                                args = args + (fl,)
                             q.put(
                                 (
-                                    prep_multi([x for x, _ in buf]),
+                                    prep_multi(*args),
                                     K,
-                                    sum(a for _, a in buf),
+                                    sum(a for _, a, _ in buf),
                                 )
                             )
-                            buffers[b.bucket_frames] = []
+                            buffers[key] = []
                     else:
-                        q.put((prep_one(b), 1, audio))
-                # residual same-bucket groups smaller than K, one at a time
+                        args = (b,) if not cached else (b, fl)
+                        q.put((prep_one(*args), 1, audio))
+                # residual same-(bucket, shard) groups smaller than K run
+                # one at a time, each with the flats captured at receive
                 for buf in buffers.values():
-                    for b, audio in buf:
+                    for b, audio, fl in buf:
                         if stop.is_set():
                             return
-                        q.put((prep_one(b), 1, audio))
+                        args = (b,) if not cached else (b, fl)
+                        q.put((prep_one(*args), 1, audio))
             except BaseException as e:  # surfaced to the consumer
                 q.put(e)
             finally:
@@ -434,7 +462,9 @@ class Trainer:
         epochs = epochs if epochs is not None else cfg.epochs
         K = self._steps_per_call
         flush_every = max(1, cfg.num_iter_print)
-        cached = isinstance(train_loader, DeviceCacheLoader)
+        cached = isinstance(
+            train_loader, (DeviceCacheLoader, RotatingDeviceCacheLoader)
+        )
         if cached:
             self._prepare_cached(train_loader)
         dispatch = self._dispatch_cached if cached else self._dispatch_host

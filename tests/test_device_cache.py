@@ -496,6 +496,106 @@ def test_int16_transport_matches_f32_loss(corpus_dir):
         )
 
 
+def test_rotating_loader_shards_cover_epoch_and_match_plain(
+    corpus_dir, tmp_path
+):
+    """RotatingDeviceCacheLoader: a tiny HBM budget splits the corpus into
+    several shards (flats spilled to disk memmaps), one epoch yields every
+    shard's batches, and a single-shard rotating loader reproduces a plain
+    DeviceCacheLoader bit-for-bit (same derived seed)."""
+    from fullycnnspeechenhancement_tpu.data.device_cache import (
+        RotatingDeviceCacheLoader,
+    )
+
+    rot = RotatingDeviceCacheLoader(
+        corpus_dir["clean"],
+        corpus_dir["noise"],
+        DSP,
+        batch_size=2,
+        hbm_budget_bytes=64_000,  # ~4 s of int16 -> several shards
+        shuffle=True,
+        seed=0,
+        spill_dir=str(tmp_path / "spill"),
+    )
+    assert rot.num_shards >= 3
+    # spilled flats are memmaps; staging commits at one common shape
+    assert isinstance(rot._corpora[0].clean, np.memmap)
+    batches = list(rot)
+    assert len(batches) == len(rot) > 0
+    total_items = sum(len(c.entries) for c in rot._corpora)
+    assert total_items == 8  # every manifest item assigned to exactly one shard
+    # materialize one batch per shard boundary sanity: flats() is usable
+    cb = batches[-1]
+    mix, clean = materialize_batch(
+        *rot.flats(), cb, rot.pad_len(cb.bucket_frames), False
+    )
+    assert np.isfinite(np.asarray(mix)).all()
+
+    # single-shard rotating == plain loader with the derived shard seed
+    rot1 = RotatingDeviceCacheLoader(
+        corpus_dir["clean"],
+        corpus_dir["noise"],
+        DSP,
+        batch_size=2,
+        hbm_budget_bytes=1 << 30,
+        shuffle=True,
+        seed=3,
+    )
+    assert rot1.num_shards == 1
+    derived = (3 * 1_000_003) & 0x7FFFFFFF
+    entries = read_manifest(corpus_dir["clean"], 0.4)
+    noise_entries = read_manifest(corpus_dir["noise"])
+    plain_corpus = DeviceCorpus(
+        entries, noise_entries, SR,
+        pad_samples=DSP.padded_samples(1024), snr_db=0.0, seed=derived,
+    )
+    plain = DeviceCacheLoader(plain_corpus, DSP, 2, shuffle=True, seed=derived)
+    for rb, pb in zip(list(rot1), list(plain)):
+        np.testing.assert_array_equal(rb.indices, pb.indices)
+        np.testing.assert_array_equal(rb.clean_off, pb.clean_off)
+        np.testing.assert_array_equal(rb.scale, pb.scale)
+
+
+def test_trainer_trains_through_rotating_cache(corpus_dir, tmp_path):
+    """Full Trainer epoch over a multi-shard rotating cache with
+    steps_per_call=2: scanned groups must never mix shards (grouping is
+    keyed by flats identity), every batch trains, losses stay finite."""
+    import json
+
+    from fullycnnspeechenhancement_tpu.data.device_cache import (
+        RotatingDeviceCacheLoader,
+    )
+    from fullycnnspeechenhancement_tpu.train.trainer import Trainer
+
+    config = _train_config(
+        2,
+        steps_per_call=2,
+        checkpoints_path=str(tmp_path / "ck_rot"),
+        log_dir=str(tmp_path / "log_rot"),
+    )
+    rot = RotatingDeviceCacheLoader(
+        corpus_dir["clean"],
+        corpus_dir["noise"],
+        DSP,
+        batch_size=2,
+        hbm_budget_bytes=64_000,
+        shuffle=True,
+        seed=0,
+    )
+    assert rot.num_shards >= 3
+    trainer = Trainer(config)
+    trainer.train(rot, epochs=1)
+    trainer.ckpt.close()
+    assert int(trainer.state.step) == len(rot)
+    rows = [
+        json.loads(line)
+        for line in open(trainer._scalars_path)
+        if "loss" in json.loads(line)
+    ]
+    assert len(rows) == len(rot)
+    assert all(np.isfinite(r["loss"]) for r in rows)
+
+
 def test_cached_dp_step_matches_single_device(corpus_dir):
     """DP cached step on a 2-device mesh (flats replicated, metadata
     sharded) reproduces the single-device cached step exactly."""

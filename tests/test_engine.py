@@ -333,6 +333,39 @@ def test_train_cli_device_cache_e2e(tmp_path, corpus):
     assert glob.glob(str(tmp_path / "ckpts" / "RCED_FullyCNN" / "*"))
 
 
+def test_train_cli_rotating_cache_e2e(tmp_path, corpus):
+    """`[data] device_cache_budget_gb` small enough forces the ROTATING
+    cache through the train CLI: shards rotate mid-epoch and training
+    completes with scalars + checkpoint on disk."""
+    from fullycnnspeechenhancement_tpu.cli import train as train_cli
+
+    cfg = tmp_path / "rot.cfg"
+    cfg.write_text(
+        "[training]\n"
+        "epochs = 1\nbatch_size = 2\nlr = 0.001\nwarmup_steps = 50\n"
+        "continue_train = False\nsteps_per_call = 2\n"
+        f"checkpoints_path = {tmp_path}/ckpts\n"
+        f"log_dir = {tmp_path}/logs\n"
+        "[model]\nnet_arch = RCED\nnet_work = FullyCNN\n"
+        "[data]\nsample_rate = 8000\n"
+        f"train_manifest_path = {corpus['clean']}\n"
+        f"train_noise_manifest = {corpus['noise']}\n"
+        "snr = 0\nuse_device_cache = True\nmax_duration = 0.65\n"
+        # ~4 kB budget < the one surviving 0.5 s entry (8 kB): engages
+        # the rotating path (multi-shard rotation is unit-tested; this
+        # covers the CLI wiring + spill)
+        "device_cache_budget_gb = 0.000004\n"
+        f"device_cache_spill_dir = {tmp_path}/spill\n"
+        f"audio_save_path = {tmp_path}/denoise\n"
+    )
+    train_cli.main(["--cfg", str(cfg), "--num-works", "1"])
+    scalars = glob.glob(str(tmp_path / "logs" / "scalars_*.jsonl"))
+    assert scalars
+    rows = [json.loads(l) for l in open(scalars[0])]
+    assert any("loss" in r for r in rows)
+    assert glob.glob(str(tmp_path / "spill" / "clean_*.npy"))
+
+
 def test_test_and_infer_clis_e2e(tmp_path, corpus, capsys):
     """cli.test and cli.infer drive their full surface on CPU: npz
     checkpoint resolution, evaluation with metric printout, and the
