@@ -177,7 +177,11 @@ def bench_trainer_real_loop(
       * "host_i16" -- same, int16 transport (half the H2D bytes);
       * "cached"  -- device-resident corpus cache: flats committed to HBM
                      once, per-step H2D is [B] metadata, mixing on device
-                     (data/device_cache.py -- the production TPU path).
+                     (data/device_cache.py -- the production TPU path);
+      * "rotating" -- the >HBM-corpus path: shards under a budget sized
+                     to split this corpus ~4 ways, rotated through HBM
+                     per epoch (measures the rotation overhead; not a
+                     default bench section -- run manually).
     """
     from fullycnnspeechenhancement_tpu.config import (
         Config,
@@ -222,6 +226,27 @@ def bench_trainer_real_loop(
         )
         loader = DeviceCacheLoader(
             corpus, config.dsp, batch, shuffle=True, seed=0
+        )
+    elif loader_mode == "rotating":
+        from fullycnnspeechenhancement_tpu.data.device_cache import (
+            RotatingDeviceCacheLoader,
+        )
+
+        corpus_bytes = n_entries * int(seconds_per_utt * sr) * 2
+        loader = RotatingDeviceCacheLoader(
+            clean_manifest,
+            noise_manifest,
+            config.dsp,
+            batch,
+            hbm_budget_bytes=max(corpus_bytes // 4, 1 << 20),
+            shuffle=True,
+            seed=0,
+        )
+        print(
+            f"bench: rotating over {loader.num_shards} shards, "
+            f"{loader.nbytes_resident() >> 20} MB resident",
+            file=__import__('sys').stderr,
+            flush=True,
         )
     else:
         # Native (GIL-free C++) decode path at 4 workers: the python path
