@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("mode", ["host", "host_i16", "cached"])
+@pytest.mark.parametrize("mode", ["host", "host_i16", "cached", "rotating"])
 def test_bench_trainer_loop_modes_run(mode):
     import bench
 
