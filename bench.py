@@ -242,10 +242,12 @@ def bench_trainer_real_loop(
             shuffle=True,
             seed=0,
         )
+        import sys
+
         print(
             f"bench: rotating over {loader.num_shards} shards, "
             f"{loader.nbytes_resident() >> 20} MB resident",
-            file=__import__('sys').stderr,
+            file=sys.stderr,
             flush=True,
         )
     else:
