@@ -37,6 +37,7 @@ def build_loaders(config: Config, num_workers: int):
 
         budget_gb = config.data.device_cache_budget_gb
         est_bytes = 0
+        entries = None  # reused by the chosen loader (no second parse)
         if budget_gb > 0:
             entries = read_manifest(
                 config.data.train_manifest_path,
@@ -62,6 +63,7 @@ def build_loaders(config: Config, num_workers: int):
                 shuffle=True,
                 seed=config.data.seed,
                 spill_dir=config.data.device_cache_spill_dir or None,
+                entries=entries,
             )
         else:
             corpus = build_device_corpus(
@@ -73,6 +75,7 @@ def build_loaders(config: Config, num_workers: int):
                 host_count=hc,
                 max_bucket_frames=max(config.data.bucket_frames),
                 commit=False,  # Trainer commits with mesh-aware placement
+                entries=entries,
             )
             train_loader = DeviceCacheLoader(
                 corpus,

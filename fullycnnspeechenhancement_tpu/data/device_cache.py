@@ -195,6 +195,7 @@ class DeviceCorpus:
         chunk_limit: int = CHUNK_LIMIT_DEFAULT,
         num_workers: int = 1,
         use_native: bool = False,
+        shared_noise: Optional[FlatCorpus] = None,
     ):
         self.entries = entries
         self.sample_rate = sample_rate
@@ -229,8 +230,13 @@ class DeviceCorpus:
             self.clean_host = build([e.audio_filepath for e in entries])
             self.item_lengths = self.clean_host.lengths.copy()
             if noise_entries:
-                self.noise_host = build(
-                    [e.audio_filepath for e in noise_entries]
+                # `shared_noise` lets many corpora (rotating-cache
+                # shards) reuse ONE decoded noise corpus instead of
+                # re-decoding and re-holding it per shard
+                self.noise_host = (
+                    shared_noise
+                    if shared_noise is not None
+                    else build([e.audio_filepath for e in noise_entries])
                 )
                 short = self.noise_host.lengths.min()
                 need = self.item_lengths.max()
@@ -264,14 +270,17 @@ class DeviceCorpus:
         self._noise_cumsq: Optional[np.ndarray] = None
 
     def _ensure_power_caches(self) -> None:
-        if self.premixed or self.noise_host is None or self._p_sig is not None:
+        if self.premixed or self.noise_host is None:
             return
-        n = len(self.item_lengths)
-        p = np.zeros(n, np.float64)
-        for i in range(n):
-            seg = self.clean_host.segment(i).astype(np.float32) / 32768.0
-            p[i] = np.dot(seg.astype(np.float64), seg.astype(np.float64))
-        self._p_sig = p
+        if self._p_sig is None:
+            n = len(self.item_lengths)
+            p = np.zeros(n, np.float64)
+            for i in range(n):
+                seg = self.clean_host.segment(i).astype(np.float32) / 32768.0
+                p[i] = np.dot(seg.astype(np.float64), seg.astype(np.float64))
+            self._p_sig = p
+        if self._noise_cumsq is not None:
+            return  # injected (shared across rotating-cache shards)
         # Noise cumulative squares, ONE TABLE PER RECORDING: p_noise of a
         # crop [start, start+L) of noise ni is cum[ni][start+L] -
         # cum[ni][start] with entry-local indices.  Per-entry tables (a)
@@ -556,15 +565,20 @@ def build_device_corpus(
     commit: bool = True,
     sharding=None,
     chunk_limit: int = CHUNK_LIMIT_DEFAULT,
+    entries: Optional[List[ManifestEntry]] = None,
 ) -> DeviceCorpus:
-    """Read manifests (host-sharded), build + (optionally) commit flats."""
+    """Read manifests (host-sharded), build + (optionally) commit flats.
+
+    `entries` skips the manifest read when the caller already parsed it
+    (it must be UNsharded and duration-filtered; host sharding happens
+    here)."""
     min_d = data.min_duration if data else 0.4
     max_d = data.max_duration if data else float("inf")
     snr = data.snr if data else 0.0
     seed = data.seed if data else 0
-    entries = shard_for_host(
-        read_manifest(manifest_path, min_d, max_d), host_index, host_count
-    )
+    if entries is None:
+        entries = read_manifest(manifest_path, min_d, max_d)
+    entries = shard_for_host(entries, host_index, host_count)
     noise_entries = (
         read_manifest(noise_manifest) if noise_manifest else None
     )
@@ -625,21 +639,27 @@ class RotatingDeviceCacheLoader:
         host_count: int = 1,
         bucket_frames: Sequence[int] = (64, 128, 192, 256, 384, 512, 768, 1024),
         shuffle: bool = True,
-        seed: int = 0,
+        seed: Optional[int] = None,
         spill_dir: Optional[str] = None,
         max_bucket_frames: Optional[int] = None,
         chunk_limit: int = CHUNK_LIMIT_DEFAULT,
+        entries: Optional[List[ManifestEntry]] = None,
     ):
         min_d = data.min_duration if data else 0.4
         max_d = data.max_duration if data else float("inf")
         self.snr = data.snr if data else 0.0
-        self.seed = seed if data is None else data.seed
+        # an explicit seed always wins; None defers to data.seed
+        self.seed = (
+            seed
+            if seed is not None
+            else (data.seed if data is not None else 0)
+        )
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.dsp = dsp
-        entries = shard_for_host(
-            read_manifest(manifest_path, min_d, max_d), host_index, host_count
-        )
+        if entries is None:
+            entries = read_manifest(manifest_path, min_d, max_d)
+        entries = shard_for_host(entries, host_index, host_count)
         if not entries:
             raise ValueError(f"empty manifest {manifest_path}")
         noise_entries = (
@@ -666,6 +686,27 @@ class RotatingDeviceCacheLoader:
 
         num_workers = data.num_workers if data else 1
         use_native = data.use_native if data else False
+        # decode the noise corpus ONCE; every shard shares the flat and
+        # (below) the f64 cumulative-square tables
+        shared_noise = (
+            FlatCorpus.build(
+                [e.audio_filepath for e in noise_entries],
+                dsp.sample_rate,
+                pad,
+                chunk_limit=chunk_limit,
+                num_workers=num_workers,
+                use_native=use_native,
+            )
+            if noise_entries
+            else None
+        )
+        if shared_noise is not None and spill_dir is not None:
+            os.makedirs(spill_dir, exist_ok=True)
+            shared_noise = shared_noise._replace(
+                flat=_spill(
+                    shared_noise.flat, os.path.join(spill_dir, "noise.npy")
+                )
+            )
         self._corpora: List[DeviceCorpus] = []
         self._loaders: List[DeviceCacheLoader] = []
         for si, shard_entries in enumerate(shards):
@@ -680,15 +721,30 @@ class RotatingDeviceCacheLoader:
                 chunk_limit=chunk_limit,
                 num_workers=num_workers,
                 use_native=use_native,
+                shared_noise=shared_noise,
             )
             if spill_dir is not None:
                 os.makedirs(spill_dir, exist_ok=True)
+                # rebind BOTH the device-commit views and the host-side
+                # FlatCorpus so the RAM copies actually become
+                # collectable (clean_host.flat is read later by
+                # item_meta/_ensure_power_caches).  The shared noise flat
+                # was spilled once above; only shard-specific flats spill
+                # here (clean always, `other` only for premixed mixes).
                 corpus.clean = _spill(
                     corpus.clean, os.path.join(spill_dir, f"clean_{si}.npy")
                 )
-                corpus.other = _spill(
-                    corpus.other, os.path.join(spill_dir, f"other_{si}.npy")
+                corpus.clean_host = corpus.clean_host._replace(
+                    flat=corpus.clean
                 )
+                if corpus.premixed:
+                    corpus.other = _spill(
+                        corpus.other,
+                        os.path.join(spill_dir, f"other_{si}.npy"),
+                    )
+                    corpus.other_host = corpus.other_host._replace(
+                        flat=corpus.other
+                    )
             self._corpora.append(corpus)
             self._loaders.append(
                 DeviceCacheLoader(
@@ -703,6 +759,12 @@ class RotatingDeviceCacheLoader:
         self.premixed = self._corpora[0].premixed
         if any(c.premixed != self.premixed for c in self._corpora):
             raise ValueError("mixed premixed/non-premixed shards")
+        if shared_noise is not None and len(self._corpora) > 1:
+            # the f64 cumsq tables depend only on the (shared) noise
+            # flat; compute once, inject everywhere
+            self._corpora[0]._ensure_power_caches()
+            for c in self._corpora[1:]:
+                c._noise_cumsq = self._corpora[0]._noise_cumsq
 
         # One common commit shape per flat kind: shards pad into a shared
         # host staging buffer so the jitted steps see ONE shape.

@@ -332,18 +332,29 @@ class Trainer:
                 # the rotating cache a scanned group must never mix
                 # batches whose metadata indexes different shards' flats
                 buffers: dict = {}
+                last_sig = None
                 for b in train_loader:
                     if stop.is_set():
                         return
                     # capture flats NOW: the loader only rotates when its
                     # generator is advanced again, so these are b's flats
                     fl = self._cached_loader.flats() if cached else None
+                    sig = id(fl[0]) if fl is not None else 0
+                    if cached and last_sig is not None and sig != last_sig:
+                        # shard rotated: flush the previous shard's
+                        # residual groups NOW -- buffered entries hold
+                        # that shard's device flats, and deferring to
+                        # epoch end would pin every rotated shard's
+                        # flats in HBM simultaneously
+                        for key in [k for k in buffers if k[1] != sig]:
+                            for b2, audio2, fl2 in buffers.pop(key):
+                                if stop.is_set():
+                                    return
+                                q.put((prep_one(b2, fl2), 1, audio2))
+                    last_sig = sig
                     audio = float(b.lengths.sum()) / sr
                     if K > 1:
-                        key = (
-                            b.bucket_frames,
-                            id(fl[0]) if fl is not None else 0,
-                        )
+                        key = (b.bucket_frames, sig)
                         buf = buffers.setdefault(key, [])
                         buf.append((b, audio, fl))
                         if len(buf) == K:
