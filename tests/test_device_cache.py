@@ -556,6 +556,42 @@ def test_rotating_loader_shards_cover_epoch_and_match_plain(
         np.testing.assert_array_equal(rb.scale, pb.scale)
 
 
+def test_rotating_loader_premixed_mode(corpus_dir, tmp_path):
+    """Rotation over PREMIXED pair manifests: both flats (clean + mix)
+    are shard-specific and spill per shard; materialized batches come
+    back bit-exact against the per-shard corpora."""
+    from fullycnnspeechenhancement_tpu.data.device_cache import (
+        RotatingDeviceCacheLoader,
+    )
+
+    rot = RotatingDeviceCacheLoader(
+        corpus_dir["premixed"],
+        None,
+        DSP,
+        batch_size=2,
+        hbm_budget_bytes=40_000,  # both flats count: forces >= 2 shards
+        shuffle=False,
+        seed=0,
+        spill_dir=str(tmp_path / "spill_pre"),
+    )
+    assert rot.premixed and rot.num_shards >= 2
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "spill_pre" / "other_*.npy"))
+    seen = 0
+    for cb in rot:
+        mix, clean = materialize_batch(
+            *rot.flats(), cb, rot.pad_len(cb.bucket_frames), True
+        )
+        mix, clean = np.asarray(mix), np.asarray(clean)
+        assert np.isfinite(mix).all()
+        # premixed pairs: mix != clean yet clean content is present
+        assert np.abs(mix - clean).max() > 1e-4
+        assert np.abs(clean).max() > 0
+        seen += 1
+    assert seen == len(rot)
+
+
 def test_trainer_trains_through_rotating_cache(corpus_dir, tmp_path):
     """Full Trainer epoch over a multi-shard rotating cache with
     steps_per_call=2: scanned groups must never mix shards (grouping is
