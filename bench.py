@@ -180,8 +180,8 @@ def bench_trainer_real_loop(
                      (data/device_cache.py -- the production TPU path);
       * "rotating" -- the >HBM-corpus path: shards under a budget sized
                      to split this corpus ~4 ways, rotated through HBM
-                     per epoch (measures the rotation overhead; not a
-                     default bench section -- run manually).
+                     per epoch (measures the rotation overhead; default
+                     bench section `train_loop_rotating` since r5).
     """
     from fullycnnspeechenhancement_tpu.config import (
         Config,
@@ -636,6 +636,20 @@ def main():
             steps_per_call=8,
         ),
     )
+    # The >HBM-corpus production path (VERDICT r4 item 2): same corpus
+    # scale as the cached section, split ~4 ways and rotated through HBM
+    # per epoch -- measures the per-epoch flats re-ship against the
+    # tunnel (PERF_NOTES r4: ~2,000 audio-s/s here; rotation cost is
+    # fixed per epoch, so a PCIe host amortizes it to ~nothing).
+    rotating = _run(
+        "train_loop_rotating",
+        lambda: bench_trainer_real_loop(
+            loader_mode="rotating",
+            n_entries=2048,
+            epochs_measured=2,
+            steps_per_call=8,
+        ),
+    )
     real = _run("train_loop", bench_trainer_real_loop)
     # int16 transport fallback for corpora too large for HBM: half the
     # host->device bytes of the f32 host loop.
@@ -667,9 +681,25 @@ def main():
         )
         import bench_streaming
 
-        return bench_streaming.measure(seconds=20.0, chunk_frames=8)
+        # median of 3 sustained streams: single runs vary ~30% through
+        # the tunnel (VERDICT r4 weak 7)
+        return bench_streaming.measure(seconds=20.0, chunk_frames=8, repeats=3)
 
     streaming = _run("streaming", _streaming)
+
+    def _eval_loop():
+        import sys as _sys
+
+        _sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "benchmarks")
+        )
+        import bench_eval
+
+        return bench_eval.measure(n_entries=128)
+
+    # Validation/eval throughput (VERDICT r4 item 4): host-fed device
+    # forward+rebuild plus pooled STOI/SDR/PESQ scoring.
+    eval_res = _run("eval_loop", _eval_loop)
     baseline = _run("baseline", bench_torch_cpu_baseline)
     # Headline metric: the REAL Trainer.train loop on the production
     # (device-cached) data path; the scanned device-only chain is the
@@ -683,6 +713,7 @@ def main():
         if value and baseline
         else None,
         "train_loop_cached": round(cached, 2) if cached else None,
+        "train_loop_rotating": round(rotating, 2) if rotating else None,
         "train_loop": round(real, 2) if real else None,
         "train_loop_i16": round(real_i16, 2) if real_i16 else None,
         "train_scanned": round(scanned, 2) if scanned else None,
@@ -694,6 +725,10 @@ def main():
         "infer_fused": round(infer_fused, 2) if infer_fused else None,
         "streaming_rtf": streaming["rtf"] if streaming else None,
         "streaming_push_p95_ms": streaming["push_p95_ms"] if streaming else None,
+        "eval_audio_s_per_s": eval_res["value"] if eval_res else None,
+        "eval_device_audio_s_per_s": eval_res["device_audio_s_per_s"]
+        if eval_res
+        else None,
     }
     if errors:
         out["errors"] = errors

@@ -25,10 +25,17 @@ import time
 import numpy as np
 
 
-def measure(seconds: float = 30.0, chunk_frames: int = 8) -> dict:
+def measure(
+    seconds: float = 30.0, chunk_frames: int = 8, repeats: int = 1
+) -> dict:
     """Run the sustained-stream RTF measurement; returns the result dict.
     Importable by bench.py so the driver-visible BENCH record carries a
-    streaming number (VERDICT r3 weak 4)."""
+    streaming number (VERDICT r3 weak 4).
+
+    `repeats` > 1 re-runs the sustained stream on the SAME compiled
+    denoiser and reports the MEDIAN rtf plus min/max spread: single runs
+    on the tunneled chip vary ~30% run-to-run (VERDICT r4 weak 7), so
+    one sample is not a number."""
     import jax
 
     from fullycnnspeechenhancement_tpu.config import Config, ModelConfig
@@ -57,23 +64,32 @@ def measure(seconds: float = 30.0, chunk_frames: int = 8) -> dict:
     den.reset()
 
     pushes = len(wav) // push_samples
-    times = []
+    rtfs = []
+    all_times = []
     out_total = 0
-    t0 = time.perf_counter()
-    for i in range(pushes):
-        c0 = time.perf_counter()
-        out = den.push(wav[i * push_samples : (i + 1) * push_samples])
-        times.append(time.perf_counter() - c0)
-        out_total += len(out)
-    out_total += len(den.flush())
-    wall = time.perf_counter() - t0
+    for _ in range(max(1, repeats)):
+        den.reset()
+        times = []
+        t0 = time.perf_counter()
+        for i in range(pushes):
+            c0 = time.perf_counter()
+            out = den.push(wav[i * push_samples : (i + 1) * push_samples])
+            times.append(time.perf_counter() - c0)
+            out_total += len(out)
+        out_total += len(den.flush())
+        wall = time.perf_counter() - t0
+        rtfs.append(pushes * push_samples / sr / wall)
+        all_times.extend(times)
 
     audio_s = pushes * push_samples / sr
-    times_ms = np.asarray(times) * 1e3
+    times_ms = np.asarray(all_times) * 1e3
     budget_ms = push_samples / sr * 1e3
     return {
         "metric": "streaming_rtf",
-        "rtf": round(audio_s / wall, 2),
+        "rtf": round(float(np.median(rtfs)), 2),
+        "rtf_min": round(min(rtfs), 2),
+        "rtf_max": round(max(rtfs), 2),
+        "repeats": max(1, repeats),
         "unit": "audio-s/wall-s",
         "backend": jax.default_backend(),
         "chunk_frames": chunk_frames,
@@ -85,13 +101,30 @@ def measure(seconds: float = 30.0, chunk_frames: int = 8) -> dict:
     }
 
 
+def sweep(seconds: float = 15.0, repeats: int = 3):
+    """Chunk-size sweep {4, 8, 16} x `repeats`: characterizes the
+    latency/throughput trade and the run-to-run spread (VERDICT r4
+    weak 7).  Results belong in benchmarks/PERF_NOTES.md; bench.py keeps
+    chunk 8 as the one canonical record."""
+    return [
+        measure(seconds=seconds, chunk_frames=cf, repeats=repeats)
+        for cf in (4, 8, 16)
+    ]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=float, default=30.0)
     ap.add_argument("--chunk-frames", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=1)
+    ap.add_argument("--sweep", action="store_true")
     ap.add_argument("--json", action="store_true")
     a = ap.parse_args()
-    result = measure(a.seconds, a.chunk_frames)
+    if a.sweep:
+        for result in sweep(a.seconds, max(3, a.repeats)):
+            print(json.dumps(result))
+        return
+    result = measure(a.seconds, a.chunk_frames, a.repeats)
     print(json.dumps(result))
     if result["rtf"] <= 1.0:
         print("FAIL: not real-time", file=sys.stderr)

@@ -90,7 +90,10 @@ class ModelConfig:
     # (ops/pallas_rced.py): one HBM read + one write for the inner conv
     # stack instead of a round trip per layer.  Numerics: MXU-default f32
     # (~2e-3 relative vs the HIGHEST-precision XLA path), so parity tests
-    # keep this off; throughput serving turns it on.
+    # keep this off.  Throughput break-even vs the XLA blocked path is
+    # ~32k frames per call (batch 64 x 8 s -- BENCH_r04); below that the
+    # kernel reaches ~0.8x XLA and logs a warning, and its value is f32
+    # accuracy at bf16-comparable speed rather than throughput.
     fused_inference: bool = False
     # Run the conv stack through the freq-to-depth "blocked" forward
     # (models/blocked.py): an exact reparametrization that folds 4
@@ -249,6 +252,17 @@ def load_ini_config(path: str) -> Config:
             )
     if cp.has_option("data", "windows_effective"):
         dsp_kwargs["window_name"] = cp.get("data", "windows_effective")
+    if cp.has_option("data", "nfft"):
+        nfft = int(cp.get("data", "nfft"))
+        if nfft != 256:
+            # Reference quirk: like `windows`, `nfft` is parsed by no
+            # reference code path -- analysis FFT size is hardcoded to
+            # 256 (Appendix A.2).  Follow the behaviour and say so.
+            logger.warning(
+                "[data] nfft=%d requested, but the reference behaviour is "
+                "256 (the key is dead in the reference); using 256.",
+                nfft,
+            )
     dsp = DSPConfig(**dsp_kwargs)
 
     model = ModelConfig(

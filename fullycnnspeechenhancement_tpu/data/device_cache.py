@@ -47,6 +47,7 @@ feed_dict, `data_utils/data_loader.py:192-225`).
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
@@ -62,6 +63,8 @@ from fullycnnspeechenhancement_tpu.data.manifest import (
     read_manifest,
     shard_for_host,
 )
+
+logger = logging.getLogger(__name__)
 
 # Per-chunk sample budget.  2^30 int16 samples = 2 GiB per chunk row and
 # offsets that top out far below int32 range even after adding a bucket
@@ -503,6 +506,15 @@ class DeviceCacheLoader:
         """(clean_flat, other_flat) backing the CURRENT batches."""
         return self.corpus.clean, self.corpus.other
 
+    @property
+    def generation(self) -> int:
+        """Monotonic id of the flats backing the current batches; the
+        plain loader commits once, so it never changes.  The Trainer's
+        feeder keys scan groups / flush decisions on this (keying on the
+        flats' Python object identity would be vulnerable to CPython id
+        reuse after GC -- ADVICE r4)."""
+        return 0
+
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
@@ -604,8 +616,9 @@ class RotatingDeviceCacheLoader:
     spilled to disk as numpy memmaps so host RAM holds at most one shard)
     and rotated through HBM during the epoch: commit shard, train its
     batches, release, next.  Every shard commits at ONE common flat shape
-    (a shared zero-padded staging buffer), so each (bucket, K) train step
-    compiles once and is reused across shards and epochs.
+    (zero-padded into a fresh per-commit buffer -- never a shared one,
+    whose reuse would race the async H2D copy), so each (bucket, K)
+    train step compiles once and is reused across shards and epochs.
 
     Contract: each shard behaves exactly like a `DeviceCacheLoader` over
     its sub-manifest (same bucketing / static batching / on-device mixing
@@ -674,6 +687,7 @@ class RotatingDeviceCacheLoader:
         budget = int(hbm_budget_bytes * 0.95)
         shards: List[List[ManifestEntry]] = [[]]
         acc = 0
+        total_bytes = 0
         for e in entries:
             nbytes = int(e.duration * dsp.sample_rate) * 2 * (
                 2 if e.is_premixed else 1
@@ -683,6 +697,18 @@ class RotatingDeviceCacheLoader:
                 acc = 0
             shards[-1].append(e)
             acc += nbytes
+            total_bytes += nbytes
+        if spill_dir is None and total_bytes > _host_ram_soft_limit():
+            # Without spill_dir every decoded shard stays resident in
+            # host RAM simultaneously (the design target is ~60 GB for
+            # aishell_2) -- warn before the decode pass OOMs the host
+            # (ADVICE r4).
+            logger.warning(
+                "RotatingDeviceCacheLoader will hold ~%.1f GB of decoded "
+                "corpus in host RAM (no spill_dir set); pass spill_dir= "
+                "to keep at most one shard resident via disk memmaps",
+                total_bytes / 2**30,
+            )
 
         num_workers = data.num_workers if data else 1
         use_native = data.use_native if data else False
@@ -766,8 +792,8 @@ class RotatingDeviceCacheLoader:
             for c in self._corpora[1:]:
                 c._noise_cumsq = self._corpora[0]._noise_cumsq
 
-        # One common commit shape per flat kind: shards pad into a shared
-        # host staging buffer so the jitted steps see ONE shape.
+        # One common commit shape per flat kind: shards zero-pad into it
+        # at commit time so the jitted steps see ONE shape.
         self._clean_shape = (
             max(c.clean.shape[0] for c in self._corpora),
             max(c.clean.shape[1] for c in self._corpora),
@@ -776,11 +802,17 @@ class RotatingDeviceCacheLoader:
             max(c.other.shape[0] for c in self._corpora),
             max(c.other.shape[1] for c in self._corpora),
         )
-        self._stage_clean = np.zeros(self._clean_shape, np.int16)
-        self._stage_other = np.zeros(self._other_shape, np.int16)
+        # Non-premixed shards with a shared noise corpus all reference ONE
+        # host `other` flat; commit its device copy once and reuse it
+        # across rotations instead of re-uploading per shard (ADVICE r4).
+        self._shared_other = all(
+            c.other is self._corpora[0].other for c in self._corpora
+        )
+        self._other_device = None
         self._sharding = None
         self._resident: Optional[int] = None
         self._flats = None
+        self._generation = 0
         self._epoch = 0
 
     # -- common cached-loader surface ------------------------------------
@@ -815,6 +847,15 @@ class RotatingDeviceCacheLoader:
             int(np.prod(self._clean_shape)) + int(np.prod(self._other_shape))
         ) * 2
 
+    @property
+    def generation(self) -> int:
+        """Monotonic counter bumped on every shard commit: two batches
+        share a generation iff their metadata indexes the SAME resident
+        flats.  The Trainer feeder keys scan grouping and the
+        shard-boundary flush on this (object identity of the flats tuple
+        is unsafe: CPython reuses ids after GC -- ADVICE r4)."""
+        return self._generation
+
     # -- rotation ---------------------------------------------------------
 
     def _commit_shard(self, si: int) -> None:
@@ -822,27 +863,46 @@ class RotatingDeviceCacheLoader:
             return
         c = self._corpora[si]
 
-        def staged(src, stage):
-            if src.shape == stage.shape:
+        def staged(src, shape):
+            if src.shape == shape:
+                # shard host flats are immutable; transfer straight from
+                # them (memmap-backed when spilled)
                 buf = np.asarray(src)
             else:
-                stage[...] = 0
-                stage[: src.shape[0], : src.shape[1]] = src
-                buf = stage
+                # FRESH zero-padded buffer per commit.  An earlier design
+                # reused one shared staging buffer across rotations; the
+                # H2D copy is asynchronous under concurrent step dispatch,
+                # so mutating the buffer for the NEXT shard raced the
+                # in-flight transfer of the previous one -- observed as
+                # timing-dependent corrupt batches (nondeterministic loss
+                # trajectories) on a CPU mesh, and silently possible on
+                # any async backend.  calloc'd pages make the zero fill
+                # effectively free; the buffer is dropped after the
+                # transfer (JAX holds its own reference until the copy
+                # completes).
+                buf = np.zeros(shape, np.int16)
+                buf[: src.shape[0], : src.shape[1]] = src
             if self._sharding is not None:
-                return jax.device_put(jnp.asarray(buf), self._sharding)
-            return jax.device_put(jnp.asarray(buf))
+                return jax.device_put(buf, self._sharding)
+            return jax.device_put(buf)
 
         # Drop our references to the previous shard's device flats FIRST:
         # in-flight prepped batches keep it alive until dispatched, after
         # which HBM frees -- see the sizing note in the class docstring.
+        # (The shared noise flat is intentionally kept resident across
+        # rotations: identical for every shard, uploading it once saves
+        # its H2D cost per rotation.)
         self._flats = None
         self._resident = None
-        self._flats = (
-            staged(c.clean, self._stage_clean),
-            staged(c.other, self._stage_other),
-        )
+        if self._shared_other:
+            if self._other_device is None:
+                self._other_device = staged(c.other, self._other_shape)
+            other = self._other_device
+        else:
+            other = staged(c.other, self._other_shape)
+        self._flats = (staged(c.clean, self._clean_shape), other)
         self._resident = si
+        self._generation += 1
 
     def __iter__(self):
         rng = np.random.default_rng((self.seed, self._epoch, 7919))
@@ -856,10 +916,20 @@ class RotatingDeviceCacheLoader:
             yield from sub
 
 
+def _host_ram_soft_limit() -> int:
+    """Half the host's physical RAM (fallback 16 GB where unreadable):
+    the threshold above which holding a whole un-spilled corpus in host
+    memory gets a loud warning."""
+    try:
+        return (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) // 2
+    except (ValueError, OSError, AttributeError):
+        return 16 << 30
+
+
 def _spill(arr: np.ndarray, path: str) -> np.ndarray:
     """Write `arr` to a disk-backed numpy memmap and return the memmap
-    (the RAM copy becomes collectable): host RAM then holds at most the
-    staging buffer + one shard page cache, not the whole corpus."""
+    (the RAM copy becomes collectable): host RAM then holds at most one
+    commit buffer + one shard page cache, not the whole corpus."""
     mm = np.lib.format.open_memmap(
         path, mode="w+", dtype=arr.dtype, shape=arr.shape
     )

@@ -121,8 +121,10 @@ class DataLoader:
         # Ship waveforms as int16 PCM and cast on device (train.step
         # handles integer batches): halves host->device bytes, the
         # binding constraint on link-bound hosts (PERF_NOTES.md round 3
-        # H2D ceiling).  Costs one int16 quantization (-96 dBFS) -- nil
-        # for int16-sourced corpora, which round-trip exactly.
+        # H2D ceiling).  Costs ONE quantization at ~-96 dBFS relative to
+        # the utterance peak (per-utterance peak normalization rescales
+        # before quantizing, so even int16-sourced corpora round-trip
+        # exactly only when the peak maps to full scale).
         self.int16_transport = int16_transport
         self._epoch = 0
 

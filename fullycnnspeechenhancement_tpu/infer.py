@@ -31,11 +31,23 @@ logger = logging.getLogger(__name__)
 
 
 class InferenceEngine:
+    """Single-utterance denoiser.
+
+    Pass `mesh` (a jax.sharding.Mesh with a 'data' axis) to route
+    utterances LONGER than the top padded-length bucket through the
+    time-sharded halo forward (`parallel.halo.make_time_sharded_forward`):
+    the spectrogram's time axis shards across the mesh, each device
+    exchanges a constant 7-frame halo over ICI and runs the conv stack on
+    its slice -- outputs are exactly the single-device forward's (SURVEY
+    SS5 long-audio strategy).  Shorter utterances keep the single-device
+    bucketed path regardless of mesh."""
+
     def __init__(
         self,
         config: Config,
         checkpoint: Optional[str] = None,
         bucket_seconds: Sequence[float] = (2.0, 4.0, 8.0, 16.0, 32.0),
+        mesh=None,
     ):
         self.config = config
         self.model = get_model(config.model.net_work)
@@ -44,6 +56,24 @@ class InferenceEngine:
         self.bucket_samples = [
             int(s * config.dsp.sample_rate) for s in bucket_seconds
         ]
+        self.mesh = mesh
+        if mesh is not None:
+            from fullycnnspeechenhancement_tpu.parallel.halo import (
+                make_time_sharded_forward,
+            )
+
+            # model forward time-sharded over the mesh; analysis and
+            # rebuild stay single-device (one matmul each -- the 16-layer
+            # conv stack is where the FLOPs are)
+            self._sharded_model = make_time_sharded_forward(self.model, mesh)
+            self._analyze = jax.jit(self.ext.magnitude_and_phase)
+            self._rebuild = jax.jit(
+                lambda pred, pre, pim: self.reb(
+                    pred.astype(jnp.float32), pre, pim
+                )
+            )
+        else:
+            self._sharded_model = None
         self.params, self.bn_state = self._load(checkpoint)
 
         def denoise_fn(params, bn_state, wav, lengths):
@@ -93,12 +123,37 @@ class InferenceEngine:
         """float32 waveform -> denoised float32 waveform (same length)."""
         n = len(signal)
         L = self._pad_len(n)
+        if self._sharded_model is not None and L > self.bucket_samples[-1]:
+            return self._denoise_time_sharded(signal, n, L)
         wav = np.zeros((1, L), np.float32)
         wav[0, :n] = signal
         out = self._fn(
             self.params, self.bn_state, jnp.asarray(wav),
             jnp.asarray([n], jnp.int32),
         )
+        return np.asarray(out)[0, :n]
+
+    def _denoise_time_sharded(self, signal: np.ndarray, n: int, L: int):
+        """Over-top-bucket utterances: analysis on one device, the conv
+        stack sharded over the mesh's 'data' axis with halo exchange,
+        rebuild on one device.  The frame axis zero-pads up to a multiple
+        of the axis size -- exact, because TF SAME time padding is zeros
+        too, so padded frames contribute the same zeros to the kept
+        frames' receptive fields."""
+        from fullycnnspeechenhancement_tpu.parallel.mesh import DATA_AXIS
+
+        wav = np.zeros((1, L), np.float32)
+        wav[0, :n] = signal
+        mag, pre, pim = self._analyze(
+            jnp.asarray(wav), jnp.asarray([n], jnp.int32)
+        )
+        t = mag.shape[1]
+        n_shards = self.mesh.shape[DATA_AXIS]
+        t_pad = -(-t // n_shards) * n_shards
+        if t_pad != t:
+            mag = jnp.pad(mag, ((0, 0), (0, t_pad - t), (0, 0)))
+        pred = self._sharded_model(self.params, self.bn_state, mag)[:, :t]
+        out = self._rebuild(pred, pre, pim)
         return np.asarray(out)[0, :n]
 
     def denoise(self, audio_file: str, save_path: Optional[str] = None) -> str:

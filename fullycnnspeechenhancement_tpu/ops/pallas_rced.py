@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
@@ -55,6 +56,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from fullycnnspeechenhancement_tpu.models.blocks import BN_EPSILON, tf_same_pads
+
+logger = logging.getLogger(__name__)
 from fullycnnspeechenhancement_tpu.models.rced import ConvSpec, ModelDef
 
 F_DIM = 129
@@ -210,12 +213,31 @@ def _from_flat(z: jnp.ndarray, T: int, c_true: int) -> jnp.ndarray:
     return z[:, :, :F_DIM, :c_true]
 
 
+# Measured break-even vs the XLA blocked path (BENCH_r04/PERF_NOTES r4):
+# at batch 64 x 8 s (~32k frames/call) the fused kernel matches XLA; at
+# batch 16 x 4 s (~4k frames/call) it reaches only 0.81x.  Its value at
+# small shapes is f32 accuracy at bf16-comparable speed, not throughput.
+FUSED_BREAK_EVEN_FRAMES = 32_000
+
+
 def fused_inference_forward(
     model, params, bn_state, mag, t_tile: int = 32, dtype: str = "float32",
     formulation: str = "im2col",
 ):
     """See `_fused_inference_forward`; resolves interpret mode (CPU tests)
-    at call time."""
+    at call time and warns below the measured throughput break-even
+    (VERDICT r4 weak 3 -- the warning fires at trace time, once per
+    shape)."""
+    frames = int(mag.shape[0]) * int(mag.shape[1])
+    if frames < FUSED_BREAK_EVEN_FRAMES:
+        logger.warning(
+            "fused_inference at %d frames/call is below the measured "
+            "break-even (~%d frames, i.e. batch 64 x 8 s): expect ~0.8x "
+            "the XLA blocked path's throughput at this shape; keep "
+            "fused_inference for f32-accuracy-at-bf16-speed, not speed",
+            frames,
+            FUSED_BREAK_EVEN_FRAMES,
+        )
     interpret = jax.default_backend() == "cpu"
     return _fused_inference_forward(
         model, params, bn_state, mag, t_tile=t_tile, dtype=dtype,

@@ -337,9 +337,12 @@ class Trainer:
                     if stop.is_set():
                         return
                     # capture flats NOW: the loader only rotates when its
-                    # generator is advanced again, so these are b's flats
+                    # generator is advanced again, so these are b's flats.
+                    # `generation` is the loader's monotonic shard-commit
+                    # counter (id(flats) is unsafe: CPython id reuse after
+                    # GC could alias consecutive shards -- ADVICE r4).
                     fl = self._cached_loader.flats() if cached else None
-                    sig = id(fl[0]) if fl is not None else 0
+                    sig = self._cached_loader.generation if cached else 0
                     if cached and last_sig is not None and sig != last_sig:
                         # shard rotated: flush the previous shard's
                         # residual groups NOW -- buffered entries hold

@@ -159,6 +159,7 @@ def main():
             mesh,
             config.dsp.padded_samples(cb.bucket_frames),
             corpus.premixed,
+            batch_size=global_batch,  # guard the ACTUAL [B] (ADVICE r4)
         )
         state, metrics = pstep(state, clean_flat, other_flat, meta)
         losses = np.asarray([float(metrics["loss"])])

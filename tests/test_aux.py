@@ -105,3 +105,21 @@ def test_work_cfgs_complete_and_loadable():
             cfg = load_ini_config(path)
             assert cfg.dsp.sample_rate == 8000
             assert cfg.model.feature_dim == 129
+
+
+def test_dead_keys_warn(tmp_path, caplog):
+    """Both reference dead keys ([data] windows / nfft, parsed by no
+    reference code path -- Appendix A.1/A.2) warn when an INI asks for a
+    non-behavioural value, and the behavioural values stay in force."""
+    import logging
+
+    from fullycnnspeechenhancement_tpu.config import load_ini_config
+
+    ini = tmp_path / "dead.cfg"
+    ini.write_text("[data]\nwindows = hanning\nnfft = 512\n")
+    with caplog.at_level(logging.WARNING):
+        cfg = load_ini_config(str(ini))
+    text = caplog.text
+    assert "windows=hanning" in text and "nfft=512" in text
+    assert cfg.dsp.window_name == "hamming"
+    assert cfg.dsp.num_bins == 129  # nfft stays 256

@@ -27,6 +27,26 @@ def test_bench_trainer_loop_modes_run(mode):
     assert rate > 0.0
 
 
+@pytest.mark.slow
+def test_bench_eval_measure_runs():
+    """benchmarks/bench_eval.py end-to-end at tiny shapes: returns a
+    positive throughput, a device-phase number, and real metric values
+    (the eval loop is a default bench section since r5)."""
+    sys.path.insert(
+        0,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks",
+        ),
+    )
+    import bench_eval
+
+    r = bench_eval.measure(n_entries=4, seconds_per_utt=0.5, batch=2)
+    assert r["value"] > 0 and r["device_audio_s_per_s"] > 0
+    assert 0.0 <= r["scoring_overhead_frac"] <= 1.0
+    assert "stoi" in r["metrics"] and "sdr" in r["metrics"]
+
+
 def test_run_section_retries_transient_and_records_hard_failures():
     """Section runner: one retry on transient backend markers (a tunnel
     flap nulled every section of an otherwise-green bench in round 4),

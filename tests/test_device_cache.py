@@ -632,6 +632,96 @@ def test_trainer_trains_through_rotating_cache(corpus_dir, tmp_path):
     assert all(np.isfinite(r["loss"]) for r in rows)
 
 
+def test_rotating_cache_dp_matches_single_device_trainer(corpus_dir, tmp_path):
+    """VERDICT r4 item 1: the rotating cache COMPOSED with data
+    parallelism.  A multi-shard RotatingDeviceCacheLoader driven by a
+    Trainer with data_parallel=2 (flats committed under a replicated
+    NamedSharding per rotation, [B] metadata sharded over 'data',
+    generation-keyed scan grouping) must reproduce the single-device
+    rotating run's loss trajectory and final weights."""
+    import json
+
+    from fullycnnspeechenhancement_tpu.data.device_cache import (
+        RotatingDeviceCacheLoader,
+    )
+    from fullycnnspeechenhancement_tpu.train.trainer import Trainer
+
+    def run(n_dp, steps_per_call, tag):
+        config = _train_config(
+            4,
+            steps_per_call=steps_per_call,
+            data_parallel=n_dp,
+            checkpoints_path=str(tmp_path / f"ck_rdp_{tag}"),
+            log_dir=str(tmp_path / f"log_rdp_{tag}"),
+        )
+        rot = RotatingDeviceCacheLoader(
+            corpus_dir["clean"],
+            corpus_dir["noise"],
+            DSP,
+            batch_size=4,
+            hbm_budget_bytes=64_000,
+            shuffle=True,
+            seed=0,
+            spill_dir=str(tmp_path / f"spill_rdp_{tag}"),
+        )
+        assert rot.num_shards >= 3
+        trainer = Trainer(config)
+        trainer.train(rot, epochs=2)
+        trainer.ckpt.close()
+        rows = [
+            json.loads(line)
+            for line in open(trainer._scalars_path)
+            if "loss" in json.loads(line)
+        ]
+        losses = [r["loss"] for r in sorted(rows, key=lambda r: r["step"])]
+        assert len(losses) == 2 * len(rot)
+        return losses, trainer.state, rot
+
+    for k in (1, 2):
+        dp_losses, dp_state, dp_rot = run(2, k, f"dp{k}")
+        sd_losses, sd_state, _ = run(1, k, f"sd{k}")
+        # per-shard commits happened on the DP run too (one per shard
+        # per epoch; exact count depends on shard-order shuffling only
+        # through revisits, which rotate every shard once per epoch)
+        assert dp_rot.generation == 2 * dp_rot.num_shards
+        np.testing.assert_allclose(dp_losses, sd_losses, rtol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(dp_state.params["encode_1"]["w"]),
+            np.asarray(sd_state.params["encode_1"]["w"]),
+            rtol=1e-3,
+            atol=1e-5,
+        )
+
+
+def test_rotating_generation_and_shared_noise_commit(corpus_dir, tmp_path):
+    """ADVICE r4: (a) `generation` is a monotonic per-commit counter the
+    feeder can key on (one bump per shard rotation, never reused), and
+    (b) the shared noise flat commits to device ONCE -- every rotation
+    reuses the same device array instead of re-uploading it."""
+    from fullycnnspeechenhancement_tpu.data.device_cache import (
+        RotatingDeviceCacheLoader,
+    )
+
+    rot = RotatingDeviceCacheLoader(
+        corpus_dir["clean"],
+        corpus_dir["noise"],
+        DSP,
+        batch_size=2,
+        hbm_budget_bytes=64_000,
+        shuffle=True,
+        seed=0,
+        spill_dir=str(tmp_path / "spill_gen"),
+    )
+    assert rot.num_shards >= 3
+    assert rot.generation == 0
+    gens, others = [], []
+    for _ in rot:
+        gens.append(rot.generation)
+        others.append(rot.flats()[1])
+    assert sorted(set(gens)) == list(range(1, rot.num_shards + 1))
+    assert all(o is others[0] for o in others)
+
+
 def test_cached_dp_step_matches_single_device(corpus_dir):
     """DP cached step on a 2-device mesh (flats replicated, metadata
     sharded) reproduces the single-device cached step exactly."""

@@ -303,6 +303,37 @@ def test_mos_lqo_mapping_published_properties():
         np.testing.assert_allclose(mos_lqo_inverse(mos_lqo(x)), x, atol=1e-9)
 
 
+def test_pesq_native_regression():
+    """Lock the native P.862 scorer's scale against drift (VERDICT r4
+    item 5): its exact scores on the committed anchor conditions are
+    frozen in tests/fixtures/pesq_native_regression.npz.  Any change to
+    runtime/pesq862.cc that shifts the scale must fail here and
+    regenerate the fixture DELIBERATELY
+    (tests/gen_pesq_native_regression.py).  This is a regression pin,
+    not an ITU anchor -- the ITU fixture above stays the open item."""
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "fixtures",
+        "pesq_native_regression.npz",
+    )
+    assert os.path.exists(fixture), (
+        "committed fixture missing; run tests/gen_pesq_native_regression.py"
+    )
+    p = PESQ(sr=SR)
+    if not p.available or p.implementation != "p862-native":
+        pytest.skip("native PESQ not the active implementation")
+    from gen_pesq_anchor_fixtures import conditions
+
+    data = np.load(fixture)
+    frozen = dict(zip([str(n) for n in data["names"]], data["scores"]))
+    for name, clean, degraded in conditions():
+        assert name in frozen, name
+        np.testing.assert_allclose(
+            p(clean, degraded), frozen[name], rtol=0, atol=1e-9,
+            err_msg=f"native PESQ drifted on anchor '{name}'",
+        )
+
+
 def test_pesq_native_vs_itu_fixture():
     """Anchor the native P.862 implementation to REAL ITU scores when the
     committed fixture exists (generated by tests/gen_pesq_anchor_fixtures
