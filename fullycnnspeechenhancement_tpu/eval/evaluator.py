@@ -22,8 +22,9 @@ bucket to save it; not worth it at eval scale.
 from __future__ import annotations
 
 import logging
+import multiprocessing
 import os
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Optional
 
 import jax
@@ -44,6 +45,46 @@ from fullycnnspeechenhancement_tpu.train.step import make_eval_step
 
 logger = logging.getLogger(__name__)
 
+# Per-process scorer cache for the fork-pool workers (each worker builds
+# its own PESQ state on first use; the ctypes native lib is re-resolved
+# lazily after fork).
+_worker_scorers: dict = {}
+
+
+def _get_scorers(sr: int):
+    got = _worker_scorers.get(sr)
+    if got is None:
+        got = (PESQ(sr=sr), PESQ(sr=sr, allow_proxy=True))
+        _worker_scorers[sr] = got
+    return got
+
+
+def _score_arrays(clean, mix, den, path, save_dir, sr):
+    """Score one utterance (STOI/SDR + PESQ or labelled proxy) and dump
+    its wav triplet.  Module-level and numpy-only so it runs inside
+    fork-pool workers -- STOI is GIL-bound numpy (~50 ms per 8 s
+    utterance), so a THREAD pool serializes it and caps eval throughput
+    (measured 92.6 audio-s/s vs 512 for the device phase alone,
+    BENCH r5); forked processes actually parallelize it.  Referencing
+    module globals (not frozen closures) keeps test monkeypatching
+    effective in children, which fork after the patch."""
+    pesq, proxy = _get_scorers(sr)
+    out = {"stoi": stoi(clean, den, sr), "sdr": sdr(clean, den)}
+    if pesq.available:
+        out["pesq"] = pesq(clean, den)
+    else:
+        out["pesq_proxy"] = proxy(clean, den)
+    if save_dir is not None and path is not None:
+        base = os.path.basename(path)
+        write_wav(os.path.join(save_dir, base), clean, sr)
+        write_wav(
+            os.path.join(save_dir, base.replace(".wav", "_mix.wav")), mix, sr
+        )
+        write_wav(
+            os.path.join(save_dir, base.replace(".wav", "_de.wav")), den, sr
+        )
+    return out
+
 
 class Evaluator:
     def __init__(
@@ -52,7 +93,16 @@ class Evaluator:
         model: ModelDef,
         bn_training_mode: bool = False,
         num_workers: int = 8,
+        scoring: str = "process",
     ):
+        """`scoring`: "process" (default) scores in a fork-based process
+        pool -- GIL-bound STOI parallelizes across cores (this build
+        host has only 2, so the measured local gain is modest; on real
+        many-core hosts this is the difference between scoring-bound
+        and device-bound validation).  Fork (not spawn) so workers
+        inherit the parent's imports instead of re-importing jax and
+        re-registering the TPU backend.  Falls back to "thread" where
+        fork is unavailable."""
         self.config = config
         self.model = model
         self.rebuilder = WaveformRebuilder(config.dsp)
@@ -68,28 +118,41 @@ class Evaluator:
         self.pesq = PESQ(sr=config.dsp.sample_rate)
         self.pesq_proxy = PESQ(sr=config.dsp.sample_rate, allow_proxy=True)
         self.num_workers = num_workers
+        if scoring == "process":
+            try:
+                multiprocessing.get_context("fork")
+            except ValueError:
+                scoring = "thread"
+        self.scoring = scoring
+        self._pool = None
         self._warned_pesq = False
 
-    def _score_one(self, clean, mix, den, path, save_dir, sample_rate):
-        out = {"stoi": stoi(clean, den, sample_rate), "sdr": sdr(clean, den)}
-        if self.pesq.available:
-            out["pesq"] = self.pesq(clean, den)
-        else:
-            out["pesq_proxy"] = self.pesq_proxy(clean, den)
-        if save_dir is not None and path is not None:
-            base = os.path.basename(path)
-            write_wav(os.path.join(save_dir, base), clean, sample_rate)
-            write_wav(
-                os.path.join(save_dir, base.replace(".wav", "_mix.wav")),
-                mix,
-                sample_rate,
-            )
-            write_wav(
-                os.path.join(save_dir, base.replace(".wav", "_de.wav")),
-                den,
-                sample_rate,
-            )
-        return out
+    def _get_pool(self):
+        """Lazily created, REUSED across evaluate() calls: the process
+        pool forks exactly once per Evaluator (children only run numpy/
+        scipy/ctypes scoring, never jax, so the standard fork-with-
+        threads caveat does not bite; Python's own warning still prints
+        once, honestly)."""
+        if self._pool is None:
+            if self.scoring == "process":
+                self._pool = ProcessPoolExecutor(
+                    self.num_workers,
+                    mp_context=multiprocessing.get_context("fork"),
+                )
+            else:
+                self._pool = ThreadPoolExecutor(self.num_workers)
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001
+            pass
 
     def evaluate(
         self,
@@ -114,48 +177,53 @@ class Evaluator:
             os.makedirs(save_dir, exist_ok=True)
 
         sr = self.config.dsp.sample_rate
-        with ThreadPoolExecutor(self.num_workers) as pool:
-            for batch in loader:
-                rebuilt = np.asarray(
-                    self._fn(params, bn_state, batch.mix_wav, batch.lengths)
-                )
-                jobs = []
-                seen = set()
-                for j in range(len(batch.lengths)):
-                    idx = int(batch.indices[j])
-                    if idx in seen:  # static-batch tail repeats score once
-                        continue
-                    seen.add(idx)
-                    n = int(batch.lengths[j])
-                    entry = loader.dataset.items[idx]
-                    jobs.append(
-                        pool.submit(
-                            self._score_one,
-                            batch.clean_wav[j, :n],
-                            batch.mix_wav[j, :n],
-                            rebuilt[j, :n],
-                            entry.clean_path,
-                            save_dir,
-                            sr,
-                        )
+        pool = self._get_pool()
+        jobs = []
+        for batch in loader:
+            rebuilt = np.asarray(
+                self._fn(params, bn_state, batch.mix_wav, batch.lengths)
+            )
+            seen = set()
+            for j in range(len(batch.lengths)):
+                idx = int(batch.indices[j])
+                if idx in seen:  # static-batch tail repeats score once
+                    continue
+                seen.add(idx)
+                n = int(batch.lengths[j])
+                entry = loader.dataset.items[idx]
+                # Futures resolve AFTER the whole pass: scoring overlaps
+                # the next batches' loader + device work instead of
+                # barriering each batch (eval was scoring-bound --
+                # PERF_NOTES r5).  Cost: submitted copies stay queued, ~
+                # 32 kB per pending audio-second.
+                jobs.append(
+                    pool.submit(
+                        _score_arrays,
+                        np.ascontiguousarray(batch.clean_wav[j, :n]),
+                        np.ascontiguousarray(batch.mix_wav[j, :n]),
+                        rebuilt[j, :n],
+                        entry.clean_path,
+                        save_dir,
+                        sr,
                     )
-                for job in jobs:
-                    # One bad utterance must not kill the whole pass:
-                    # log-and-skip scoring failures (VERDICT r3 weak 7);
-                    # the reference's joblib pool dies wholesale instead
-                    # (trainer.py:289-321).
-                    try:
-                        scores = job.result()
-                    except Exception:  # noqa: BLE001
-                        logger.exception(
-                            "per-utterance scoring failed; skipping"
-                        )
-                        meters.setdefault(
-                            "score_failures", AverageMeter()
-                        ).update(1.0)
-                        continue
-                    for k, v in scores.items():
-                        meters.setdefault(k, AverageMeter()).update(v)
+                )
+        for job in jobs:
+            # One bad utterance must not kill the whole pass:
+            # log-and-skip scoring failures (VERDICT r3 weak 7);
+            # the reference's joblib pool dies wholesale instead
+            # (trainer.py:289-321).
+            try:
+                scores = job.result()
+            except Exception:  # noqa: BLE001
+                logger.exception(
+                    "per-utterance scoring failed; skipping"
+                )
+                meters.setdefault(
+                    "score_failures", AverageMeter()
+                ).update(1.0)
+                continue
+            for k, v in scores.items():
+                meters.setdefault(k, AverageMeter()).update(v)
         # score_failures reports the (cumulative, when meters persist
         # across validations) COUNT of skipped utterances -- averaging a
         # stream of 1.0s would always read 1.0

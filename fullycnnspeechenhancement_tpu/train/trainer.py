@@ -522,6 +522,10 @@ class Trainer:
 
     def validate(self, valid_loader: DataLoader, epoch: int, log=None):
         log = log or logger
+        # Barrier the async checkpoint commit first: the evaluator's
+        # scoring pool forks on first use, and forking mid-commit would
+        # race orbax's background serialization threads.
+        self.ckpt.wait()
         valid_loader.set_epoch(0)  # fixed eval mixing across epochs
         save_dir = os.path.join(self.config.data.audio_save_path, str(epoch))
         results = self.evaluator.evaluate(
