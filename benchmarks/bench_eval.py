@@ -83,6 +83,7 @@ def measure(
     t0 = time.perf_counter()
     results = ev.evaluate(loader, params, bn_state)
     full_dt = time.perf_counter() - t0
+    ev.close()
 
     return {
         "metric": "eval_audio_s_per_s",

@@ -69,6 +69,7 @@ def measure(
     out_total = 0
     for _ in range(max(1, repeats)):
         den.reset()
+        out_total = 0  # per-run count (every repeat streams the same wav)
         times = []
         t0 = time.perf_counter()
         for i in range(pushes):

@@ -55,12 +55,15 @@ def main(argv=None):
     # Standalone testing runs BN in inference mode (tester.py:67-83).
     evaluator = Evaluator(config, get_model(config.model.net_work),
                           bn_training_mode=False)
-    results = evaluator.evaluate(
-        loader,
-        engine.params,
-        engine.bn_state,
-        save_dir=config.data.audio_save_path,
-    )
+    try:
+        results = evaluator.evaluate(
+            loader,
+            engine.params,
+            engine.bn_state,
+            save_dir=config.data.audio_save_path,
+        )
+    finally:
+        evaluator.close()
     msg = ", ".join(f"{k}={v:.4f}" for k, v in sorted(results.items()))
     logger.info("test results: %s", msg)
     print(msg)

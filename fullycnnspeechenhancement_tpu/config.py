@@ -253,15 +253,21 @@ def load_ini_config(path: str) -> Config:
     if cp.has_option("data", "windows_effective"):
         dsp_kwargs["window_name"] = cp.get("data", "windows_effective")
     if cp.has_option("data", "nfft"):
-        nfft = int(cp.get("data", "nfft"))
+        raw_nfft = cp.get("data", "nfft")
+        try:
+            nfft = int(float(raw_nfft))
+        except ValueError:
+            # the key is dead in the reference, so even junk values must
+            # not abort config load -- warn like any other non-256 value
+            nfft = None
         if nfft != 256:
             # Reference quirk: like `windows`, `nfft` is parsed by no
             # reference code path -- analysis FFT size is hardcoded to
             # 256 (Appendix A.2).  Follow the behaviour and say so.
             logger.warning(
-                "[data] nfft=%d requested, but the reference behaviour is "
+                "[data] nfft=%s requested, but the reference behaviour is "
                 "256 (the key is dead in the reference); using 256.",
-                nfft,
+                raw_nfft,
             )
     dsp = DSPConfig(**dsp_kwargs)
 

@@ -519,6 +519,9 @@ class Trainer:
         # shutdown cannot race the background commit
         self.ckpt.wait()
         self.profiler.close()
+        # release the validation scoring workers (the pool recreates
+        # lazily if validate() is called again)
+        self.evaluator.close()
 
     def validate(self, valid_loader: DataLoader, epoch: int, log=None):
         log = log or logger

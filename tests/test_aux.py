@@ -123,3 +123,12 @@ def test_dead_keys_warn(tmp_path, caplog):
     assert "windows=hanning" in text and "nfft=512" in text
     assert cfg.dsp.window_name == "hamming"
     assert cfg.dsp.num_bins == 129  # nfft stays 256
+
+    # junk values in a dead key warn instead of aborting config load
+    # (the reference never parses the key, so it accepts anything)
+    junk = tmp_path / "junk.cfg"
+    junk.write_text("[data]\nnfft = not-a-number\n")
+    with caplog.at_level(logging.WARNING):
+        cfg = load_ini_config(str(junk))
+    assert "nfft=not-a-number" in caplog.text
+    assert cfg.dsp.num_bins == 129

@@ -680,10 +680,14 @@ def test_rotating_cache_dp_matches_single_device_trainer(corpus_dir, tmp_path):
     for k in (1, 2):
         dp_losses, dp_state, dp_rot = run(2, k, f"dp{k}")
         sd_losses, sd_state, _ = run(1, k, f"sd{k}")
-        # per-shard commits happened on the DP run too (one per shard
-        # per epoch; exact count depends on shard-order shuffling only
-        # through revisits, which rotate every shard once per epoch)
-        assert dp_rot.generation == 2 * dp_rot.num_shards
+        # one commit per shard per epoch, except a shard that stays
+        # resident across the epoch boundary skips its (redundant)
+        # recommit -- so 2n or 2n-1 depending on the shuffle draw
+        assert (
+            2 * dp_rot.num_shards - 1
+            <= dp_rot.generation
+            <= 2 * dp_rot.num_shards
+        )
         np.testing.assert_allclose(dp_losses, sd_losses, rtol=2e-4)
         np.testing.assert_allclose(
             np.asarray(dp_state.params["encode_1"]["w"]),
