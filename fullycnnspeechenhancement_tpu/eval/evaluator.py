@@ -209,21 +209,39 @@ class Evaluator:
         sr = self.config.dsp.sample_rate
         pool = self._get_pool()
 
-        def resolve(job):
+        def resolve(item):
             # One bad utterance must not kill the whole pass:
-            # log-and-skip scoring failures (VERDICT r3 weak 7);
-            # the reference's joblib pool dies wholesale instead
-            # (trainer.py:289-321).
+            # log-and-skip scoring failures (VERDICT r3 weak 7); the
+            # reference's joblib pool dies wholesale instead
+            # (trainer.py:289-321).  A dead WORKER poisons every future
+            # queued on its pool (BrokenProcessPool), so innocent
+            # utterances get ONE retry on a fresh pool -- returns the
+            # re-queued item in that case, else None.
+            job, args, retried = item
             try:
                 scores = job.result()
+            except BrokenProcessPool:
+                if not retried:
+                    logger.warning(
+                        "scoring pool died under this utterance; "
+                        "retrying it on a fresh pool"
+                    )
+                    newjob, _ = self._submit(self._get_pool(), args)
+                    return (newjob, args, True)
+                logger.exception("per-utterance scoring failed; skipping")
+                meters.setdefault(
+                    "score_failures", AverageMeter()
+                ).update(1.0)
+                return None
             except Exception:  # noqa: BLE001
                 logger.exception("per-utterance scoring failed; skipping")
                 meters.setdefault(
                     "score_failures", AverageMeter()
                 ).update(1.0)
-                return
+                return None
             for k, v in scores.items():
                 meters.setdefault(k, AverageMeter()).update(v)
+            return None
 
         # Futures resolve lazily, NOT per batch: scoring overlaps the
         # next batches' loader + device + link work instead of
@@ -246,22 +264,24 @@ class Evaluator:
                 seen.add(idx)
                 n = int(batch.lengths[j])
                 entry = loader.dataset.items[idx]
-                job, pool = self._submit(
-                    pool,
-                    (
-                        np.array(batch.clean_wav[j, :n], copy=True),
-                        np.array(batch.mix_wav[j, :n], copy=True),
-                        np.array(rebuilt[j, :n], copy=True),
-                        entry.clean_path,
-                        save_dir,
-                        sr,
-                    ),
+                args = (
+                    np.array(batch.clean_wav[j, :n], copy=True),
+                    np.array(batch.mix_wav[j, :n], copy=True),
+                    np.array(rebuilt[j, :n], copy=True),
+                    entry.clean_path,
+                    save_dir,
+                    sr,
                 )
-                jobs.append(job)
+                job, pool = self._submit(pool, args)
+                jobs.append((job, args, False))
                 while len(jobs) > max_pending:
-                    resolve(jobs.pop(0))
-        for job in jobs:
-            resolve(job)
+                    requeued = resolve(jobs.pop(0))
+                    if requeued is not None:
+                        jobs.append(requeued)
+        while jobs:
+            requeued = resolve(jobs.pop(0))
+            if requeued is not None:
+                jobs.append(requeued)
         # score_failures reports the (cumulative, when meters persist
         # across validations) COUNT of skipped utterances -- averaging a
         # stream of 1.0s would always read 1.0

@@ -275,6 +275,71 @@ def test_evaluator_robust_to_short_quiet_and_failures(tmp_path, monkeypatch):
     assert results.get("score_failures", 0) > 0
 
 
+# module-level so the process pool can pickle it by reference (forked
+# workers resolve it from their inherited copy of this module)
+_REAL_SCORE = None
+
+
+def _dying_score(clean, mix, den, path, save_dir, sr):
+    if path and "u1" in os.path.basename(path):
+        os._exit(13)  # hard worker death: breaks the whole pool
+    return _REAL_SCORE(clean, mix, den, path, save_dir, sr)
+
+
+def test_evaluator_survives_dead_scoring_worker(tmp_path, monkeypatch):
+    """A scorer process dying mid-pass (OOM kill / native-lib segfault)
+    must not kill evaluate() or poison the Evaluator: the broken pool is
+    replaced, affected utterances count as score_failures, and a second
+    evaluate() on the same Evaluator works (self-review r5)."""
+    import fullycnnspeechenhancement_tpu.eval.evaluator as ev_mod
+    from fullycnnspeechenhancement_tpu.data import write_manifest, write_wav
+    from fullycnnspeechenhancement_tpu.data.dataset import SpeechDataset
+    from fullycnnspeechenhancement_tpu.data.loader import DataLoader
+
+    sr = 8000
+    sig = 0.4 * np.sin(2 * np.pi * 350 * np.arange(sr) / sr).astype(
+        np.float32
+    )
+    entries = []
+    for i in range(4):
+        p = str(tmp_path / f"u{i}.wav")
+        write_wav(p, sig, sr)
+        mp = str(tmp_path / f"u{i}_mix.wav")
+        write_wav(mp, sig + 0.05 * np.random.default_rng(i)
+                  .standard_normal(len(sig)).astype(np.float32), sr)
+        entries.append(
+            {"clean_audio_filepath": p, "mix_audio_filepath": mp,
+             "duration": 1.0}
+        )
+    manifest = str(tmp_path / "m.premixed")
+    write_manifest(manifest, entries)
+
+    cfg = _config(tmp_path)
+    model = get_model("FullyCNN")
+    params, bn_state = model.init(jax.random.PRNGKey(0))
+    ds = SpeechDataset(manifest, None, sr, min_duration=0.0)
+    loader = DataLoader(
+        ds, cfg.dsp, 2, bucket_frames=(64, 128), shuffle=False, num_workers=1
+    )
+
+    real = ev_mod._score_arrays
+    globals()["_REAL_SCORE"] = real
+    monkeypatch.setattr(ev_mod, "_score_arrays", _dying_score)
+    evaluator = ev_mod.Evaluator(cfg, model, num_workers=2)
+    try:
+        results = evaluator.evaluate(loader, params, bn_state)
+        assert results.get("score_failures", 0) >= 1
+        assert "stoi" in results  # the surviving utterances scored
+        # the Evaluator recovered: a clean second pass works end-to-end
+        monkeypatch.setattr(ev_mod, "_score_arrays", real)
+        evaluator.close()  # drop any pool forked with the dying patch
+        results2 = evaluator.evaluate(loader, params, bn_state, meters={})
+        assert results2.get("score_failures", 0) == 0
+        assert np.isfinite(results2["stoi"])
+    finally:
+        evaluator.close()
+
+
 def test_inference_engine_npz(tmp_path, corpus):
     from fullycnnspeechenhancement_tpu.infer import InferenceEngine
 
