@@ -12,6 +12,7 @@ the corrected overlap-add ISTFT (the reference's quirk-chain rebuild is
 not a faithful inverse and floors waveform metrics, SURVEY.md SS7).
 
 Usage: python benchmarks/quality_run.py [--epochs 60] [--json]
+       python benchmarks/quality_run.py --rotating   # >HBM-path variant
 """
 
 import argparse
@@ -42,6 +43,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=60)
     ap.add_argument("--train-utts", type=int, default=32)
+    ap.add_argument(
+        "--rotating",
+        action="store_true",
+        help="train through the RotatingDeviceCacheLoader (the >HBM "
+        "production path: multi-shard, per-epoch HBM rotation) instead "
+        "of the resident cache -- certifies that path LEARNS end-to-end",
+    )
     ap.add_argument("--json", action="store_true")
     a = ap.parse_args()
 
@@ -56,6 +64,7 @@ def main():
     from fullycnnspeechenhancement_tpu.data import write_manifest, write_wav
     from fullycnnspeechenhancement_tpu.data.device_cache import (
         DeviceCacheLoader,
+        RotatingDeviceCacheLoader,
         build_device_corpus,
     )
     from fullycnnspeechenhancement_tpu.dsp import WaveformRebuilder
@@ -104,13 +113,29 @@ def main():
         ),
         data=DataConfig(audio_save_path=os.path.join(root, "denoise")),
     )
-    corpus = build_device_corpus(
-        os.path.join(root, "m.clean"),
-        os.path.join(root, "m.noise"),
-        config.dsp,
-        commit=False,
-    )
-    loader = DeviceCacheLoader(corpus, config.dsp, 8, shuffle=True, seed=0)
+    if a.rotating:
+        # budget forces >= 2 shards so every epoch crosses real shard
+        # rotations (fresh commit buffer, shared noise reuse)
+        per_entry = n * 2
+        loader = RotatingDeviceCacheLoader(
+            os.path.join(root, "m.clean"),
+            os.path.join(root, "m.noise"),
+            config.dsp,
+            batch_size=8,
+            hbm_budget_bytes=per_entry * (a.train_utts // 2),
+            shuffle=True,
+            seed=0,
+            spill_dir=os.path.join(root, "spill"),
+        )
+        assert loader.num_shards >= 2, loader.num_shards
+    else:
+        corpus = build_device_corpus(
+            os.path.join(root, "m.clean"),
+            os.path.join(root, "m.noise"),
+            config.dsp,
+            commit=False,
+        )
+        loader = DeviceCacheLoader(corpus, config.dsp, 8, shuffle=True, seed=0)
 
     model = get_model("FullyCNNV2")
     # held-out evaluation set: unseen speech, unseen noise draws
@@ -169,6 +194,8 @@ def main():
     steps = int(trainer.state.step)
     result = {
         "metric": "quality_run",
+        "loader": "rotating" if a.rotating else "cached",
+        "shards": getattr(loader, "num_shards", 1),
         "backend": jax.default_backend(),
         "steps": steps,
         "train_wall_s": round(wall, 1),
