@@ -13,6 +13,16 @@ def main(argv=None):
     parser.add_argument("--cfg", required=True)
     parser.add_argument("--audio-file", required=True)
     parser.add_argument("--checkpoint", default=None)
+    parser.add_argument(
+        "--time-shard",
+        type=int,
+        default=0,
+        metavar="N",
+        help="shard over-top-bucket utterances' time axis across N "
+        "devices with halo exchange (parallel/halo.py); needs >= N "
+        "attached devices -- long recordings then split across the mesh "
+        "instead of padding up on one chip",
+    )
     args = parser.parse_args(argv)
 
     enable_compilation_cache()
@@ -20,7 +30,12 @@ def main(argv=None):
 
     from fullycnnspeechenhancement_tpu.infer import InferenceEngine
 
-    engine = InferenceEngine(config, checkpoint=args.checkpoint)
+    mesh = None
+    if args.time_shard > 1:
+        from fullycnnspeechenhancement_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.time_shard)
+    engine = InferenceEngine(config, checkpoint=args.checkpoint, mesh=mesh)
     out = engine.denoise(args.audio_file)
     print(out)
 

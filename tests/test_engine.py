@@ -465,6 +465,15 @@ def test_test_and_infer_clis_e2e(tmp_path, corpus, capsys):
     out_path = capsys.readouterr().out.strip().splitlines()[-1]
     assert out_path.endswith("_de.wav") and os.path.exists(out_path)
 
+    # --time-shard N builds an N-device mesh and still denoises (halo
+    # routing itself is equality-tested at engine level in test_halo.py;
+    # this covers the CLI wiring on the virtual 8-device mesh)
+    infer_cli.main(
+        ["--cfg", str(cfg), "--audio-file", wav_in, "--time-shard", "8"]
+    )
+    out_path = capsys.readouterr().out.strip().splitlines()[-1]
+    assert out_path.endswith("_de.wav") and os.path.exists(out_path)
+
 
 def test_stream_cli_e2e(tmp_path, corpus, capsys):
     """cli.stream: simulated real-time denoise of a wav with the RTF
