@@ -256,7 +256,7 @@ def load_ini_config(path: str) -> Config:
         raw_nfft = cp.get("data", "nfft")
         try:
             nfft = int(float(raw_nfft))
-        except ValueError:
+        except (ValueError, OverflowError):  # inf/1e400 overflow int()
             # the key is dead in the reference, so even junk values must
             # not abort config load -- warn like any other non-256 value
             nfft = None

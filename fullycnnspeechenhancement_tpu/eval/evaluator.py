@@ -126,6 +126,7 @@ class Evaluator:
                 scoring = "thread"
         self.scoring = scoring
         self._pool = None
+        self._pool_breaks = 0
         self._warned_pesq = False
 
     def _get_pool(self):
@@ -138,6 +139,17 @@ class Evaluator:
         if self._pool is not None and getattr(self._pool, "_broken", False):
             self._pool.shutdown(wait=False)
             self._pool = None
+            self._pool_breaks += 1
+            if self._pool_breaks >= 3 and self.scoring == "process":
+                # something in this environment keeps killing scorer
+                # processes (deterministic native-lib crash, OOM killer):
+                # degrade to the GIL-bound thread pool for this
+                # Evaluator's lifetime rather than re-forking forever
+                logger.warning(
+                    "scoring pool broke %d times; degrading to threads",
+                    self._pool_breaks,
+                )
+                self.scoring = "thread"
         if self._pool is None:
             if self.scoring == "process":
                 self._pool = ProcessPoolExecutor(
@@ -148,30 +160,21 @@ class Evaluator:
                 self._pool = ThreadPoolExecutor(self.num_workers)
         return self._pool
 
-    def _submit(self, pool, args):
-        """submit with one-bad-worker resilience: a dead scorer process
-        breaks the whole executor (BrokenProcessPool) -- recreate the
-        pool once and retry; if scoring keeps breaking, fall back to the
-        thread pool for the Evaluator's lifetime rather than killing the
-        pass (the log-and-skip contract, VERDICT r3 weak 7)."""
-        try:
-            return pool.submit(_score_arrays, *args), pool
-        except BrokenProcessPool:
-            logger.warning(
-                "scoring process pool broke (worker died); recreating"
-            )
-            self.close()
+    def _submit(self, args):
+        """submit with one-dead-worker resilience: a dead scorer process
+        breaks the whole executor (BrokenProcessPool), so ALWAYS resolve
+        the pool through _get_pool() -- it replaces broken pools (a
+        stale caller-held handle would tear down the healthy
+        replacement) and, after repeated breaks, degrades scoring to
+        threads (the log-and-skip contract, VERDICT r3 weak 7)."""
+        while True:
             pool = self._get_pool()
             try:
-                return pool.submit(_score_arrays, *args), pool
+                return pool.submit(_score_arrays, *args)
             except BrokenProcessPool:
-                logger.warning(
-                    "scoring pool broke again; falling back to threads"
-                )
-                self.close()
-                self.scoring = "thread"
-                pool = self._get_pool()
-                return pool.submit(_score_arrays, *args), pool
+                # the raise marks the pool _broken; the next _get_pool()
+                # replaces it (and counts the break)
+                continue
 
     def close(self):
         if self._pool is not None:
@@ -207,7 +210,6 @@ class Evaluator:
             os.makedirs(save_dir, exist_ok=True)
 
         sr = self.config.dsp.sample_rate
-        pool = self._get_pool()
 
         def resolve(item):
             # One bad utterance must not kill the whole pass:
@@ -226,8 +228,7 @@ class Evaluator:
                         "scoring pool died under this utterance; "
                         "retrying it on a fresh pool"
                     )
-                    newjob, _ = self._submit(self._get_pool(), args)
-                    return (newjob, args, True)
+                    return (self._submit(args), args, True)
                 logger.exception("per-utterance scoring failed; skipping")
                 meters.setdefault(
                     "score_failures", AverageMeter()
@@ -272,8 +273,7 @@ class Evaluator:
                     save_dir,
                     sr,
                 )
-                job, pool = self._submit(pool, args)
-                jobs.append((job, args, False))
+                jobs.append((self._submit(args), args, False))
                 while len(jobs) > max_pending:
                     requeued = resolve(jobs.pop(0))
                     if requeued is not None:

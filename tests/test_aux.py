@@ -126,9 +126,10 @@ def test_dead_keys_warn(tmp_path, caplog):
 
     # junk values in a dead key warn instead of aborting config load
     # (the reference never parses the key, so it accepts anything)
-    junk = tmp_path / "junk.cfg"
-    junk.write_text("[data]\nnfft = not-a-number\n")
-    with caplog.at_level(logging.WARNING):
-        cfg = load_ini_config(str(junk))
-    assert "nfft=not-a-number" in caplog.text
-    assert cfg.dsp.num_bins == 129
+    for bad in ("not-a-number", "inf", "1e400"):
+        junk = tmp_path / f"junk_{bad[:3]}.cfg"
+        junk.write_text(f"[data]\nnfft = {bad}\n")
+        with caplog.at_level(logging.WARNING):
+            cfg = load_ini_config(str(junk))
+        assert f"nfft={bad}" in caplog.text
+        assert cfg.dsp.num_bins == 129

@@ -336,6 +336,13 @@ def test_evaluator_survives_dead_scoring_worker(tmp_path, monkeypatch):
         results2 = evaluator.evaluate(loader, params, bn_state, meters={})
         assert results2.get("score_failures", 0) == 0
         assert np.isfinite(results2["stoi"])
+
+        # repeated breakage degrades to the thread pool permanently
+        for _ in range(3):
+            pool = evaluator._get_pool()
+            pool._broken = "simulated worker death"
+        evaluator._get_pool()
+        assert evaluator.scoring == "thread"
     finally:
         evaluator.close()
 
