@@ -15,7 +15,7 @@ Reports:
                        (loader + H2D + device compute + D2H fetch)
   scoring share        implied scoring+write overhead
 
-Usage: python benchmarks/bench_eval.py [--entries 128] [--json]
+Usage: python benchmarks/bench_eval.py [--entries 128] [--workers 8]
 """
 
 import argparse
@@ -107,9 +107,9 @@ def main():
     ap.add_argument("--entries", type=int, default=128)
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--json", action="store_true")
+    ap.add_argument("--workers", type=int, default=8)
     a = ap.parse_args()
-    print(json.dumps(measure(a.entries, a.seconds, a.batch)))
+    print(json.dumps(measure(a.entries, a.seconds, a.batch, a.workers)))
 
 
 if __name__ == "__main__":

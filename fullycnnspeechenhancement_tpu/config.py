@@ -255,12 +255,13 @@ def load_ini_config(path: str) -> Config:
     if cp.has_option("data", "nfft"):
         raw_nfft = cp.get("data", "nfft")
         try:
-            nfft = int(float(raw_nfft))
-        except (ValueError, OverflowError):  # inf/1e400 overflow int()
+            # exact float compare: "256.9" must warn, not truncate to 256
+            nfft = float(raw_nfft)
+        except (ValueError, OverflowError):
             # the key is dead in the reference, so even junk values must
             # not abort config load -- warn like any other non-256 value
             nfft = None
-        if nfft != 256:
+        if nfft != 256.0:
             # Reference quirk: like `windows`, `nfft` is parsed by no
             # reference code path -- analysis FFT size is hardcoded to
             # 256 (Appendix A.2).  Follow the behaviour and say so.

@@ -60,6 +60,18 @@ def _get_scorers(sr: int):
     return got
 
 
+def _warm_worker(sr):
+    """Pool warm-up task: forces the worker to exist NOW (sleep keeps
+    the task resident long enough that the executor fans out to ALL
+    workers instead of reusing one) and resolves the scorer imports
+    inside it, so no import machinery runs during real scoring."""
+    import time as _time
+
+    _time.sleep(0.05)
+    _get_scorers(sr)
+    return os.getpid()
+
+
 def _score_arrays(clean, mix, den, path, save_dir, sr):
     """Score one utterance (STOI/SDR + PESQ or labelled proxy) and dump
     its wav triplet.  Module-level and numpy-only so it runs inside
@@ -127,6 +139,7 @@ class Evaluator:
         self.scoring = scoring
         self._pool = None
         self._pool_breaks = 0
+        self._pool_marked_broken = False
         self._warned_pesq = False
 
     def _get_pool(self):
@@ -136,9 +149,14 @@ class Evaluator:
         threads caveat does not bite; Python's own warning still prints
         once, honestly).  A pool whose worker died (BrokenProcessPool)
         is replaced here rather than reused forever."""
-        if self._pool is not None and getattr(self._pool, "_broken", False):
+        broken = self._pool_marked_broken or (
+            self._pool is not None
+            and getattr(self._pool, "_broken", False)
+        )
+        if self._pool is not None and broken:
             self._pool.shutdown(wait=False)
             self._pool = None
+            self._pool_marked_broken = False
             self._pool_breaks += 1
             if self._pool_breaks >= 3 and self.scoring == "process":
                 # something in this environment keeps killing scorer
@@ -158,6 +176,24 @@ class Evaluator:
                 )
             else:
                 self._pool = ThreadPoolExecutor(self.num_workers)
+            if self.scoring == "process":
+                # Fork ALL workers immediately, while the caller
+                # controls which parent threads are live -- lazy
+                # spawning would otherwise fork mid-pass with loader
+                # prefetch threads running (a child forked while
+                # another thread holds an import/logging lock can
+                # deadlock).  Also resolves scorer imports per worker.
+                for f in [
+                    self._pool.submit(
+                        _warm_worker, self.config.dsp.sample_rate
+                    )
+                    for _ in range(self.num_workers)
+                ]:
+                    try:
+                        f.result(timeout=60)
+                    except Exception:  # noqa: BLE001
+                        self._pool_marked_broken = True
+                        break
         return self._pool
 
     def _submit(self, args):
@@ -172,8 +208,10 @@ class Evaluator:
             try:
                 return pool.submit(_score_arrays, *args)
             except BrokenProcessPool:
-                # the raise marks the pool _broken; the next _get_pool()
-                # replaces it (and counts the break)
+                # explicit flag (not just the private _broken attr) so
+                # the next _get_pool() must replace it -- no spin even
+                # on a Python where the internal attribute changes
+                self._pool_marked_broken = True
                 continue
 
     def close(self):
@@ -210,6 +248,10 @@ class Evaluator:
             os.makedirs(save_dir, exist_ok=True)
 
         sr = self.config.dsp.sample_rate
+        # Create + warm the pool BEFORE iterating the loader: `for batch
+        # in loader` starts its prefetch threads, and the pool must not
+        # fork while they are live (see _get_pool).
+        self._get_pool()
 
         def resolve(item):
             # One bad utterance must not kill the whole pass:
@@ -223,6 +265,7 @@ class Evaluator:
             try:
                 scores = job.result()
             except BrokenProcessPool:
+                self._pool_marked_broken = True
                 if not retried:
                     logger.warning(
                         "scoring pool died under this utterance; "

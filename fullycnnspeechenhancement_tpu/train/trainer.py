@@ -483,6 +483,27 @@ class Trainer:
             self._prepare_cached(train_loader)
         dispatch = self._dispatch_cached if cached else self._dispatch_host
         n_batches_total = len(train_loader)
+        try:
+            self._run_epochs(
+                train_loader, valid_loader, epochs, K, flush_every,
+                cached, dispatch, n_batches_total, log,
+            )
+        finally:
+            # Run the teardown trio even when an epoch raises
+            # (dispatch error, KeyboardInterrupt): un-barriered async
+            # checkpoint commits race interpreter shutdown, and leaked
+            # scorer processes block process exit on their atexit join.
+            self.ckpt.wait()
+            self.profiler.close()
+            # release the validation scoring workers (the pool
+            # recreates lazily if validate() is called again)
+            self.evaluator.close()
+
+    def _run_epochs(
+        self, train_loader, valid_loader, epochs, K, flush_every,
+        cached, dispatch, n_batches_total, log,
+    ):
+        cfg = self.config.train
         for epoch in range(self.start_epoch, epochs):
             train_loader.set_epoch(epoch)
             epoch_audio_s = 0.0
@@ -514,14 +535,6 @@ class Trainer:
             self.ckpt.save(epoch, self.state)
             if valid_loader is not None and (epoch + 1) % cfg.valid_every_epochs == 0:
                 self.validate(valid_loader, epoch, log)
-        # saves are async (overlapping epoch compute); barrier before
-        # returning so callers see durable checkpoints and interpreter
-        # shutdown cannot race the background commit
-        self.ckpt.wait()
-        self.profiler.close()
-        # release the validation scoring workers (the pool recreates
-        # lazily if validate() is called again)
-        self.evaluator.close()
 
     def validate(self, valid_loader: DataLoader, epoch: int, log=None):
         log = log or logger

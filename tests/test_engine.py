@@ -263,7 +263,11 @@ def test_evaluator_robust_to_short_quiet_and_failures(tmp_path, monkeypatch):
     loader = DataLoader(
         ds, cfg.dsp, 2, bucket_frames=(64, 128), shuffle=False, num_workers=1
     )
-    results = Evaluator(cfg, model).evaluate(loader, params, bn_state)
+    ev1 = Evaluator(cfg, model)
+    try:
+        results = ev1.evaluate(loader, params, bn_state)
+    finally:
+        ev1.close()
     assert "stoi" in results and np.isfinite(results["stoi"])
 
     # scoring exception -> logged skip, not a crash
@@ -271,7 +275,11 @@ def test_evaluator_robust_to_short_quiet_and_failures(tmp_path, monkeypatch):
         raise RuntimeError("synthetic scorer failure")
 
     monkeypatch.setattr(ev_mod, "stoi", boom)
-    results = Evaluator(cfg, model).evaluate(loader, params, bn_state)
+    ev2 = Evaluator(cfg, model)
+    try:
+        results = ev2.evaluate(loader, params, bn_state)
+    finally:
+        ev2.close()
     assert results.get("score_failures", 0) > 0
 
 
@@ -323,7 +331,13 @@ def test_evaluator_survives_dead_scoring_worker(tmp_path, monkeypatch):
     )
 
     real = ev_mod._score_arrays
-    globals()["_REAL_SCORE"] = real
+    import sys as _sys
+
+    # set via monkeypatch so the module global is RESTORED after the
+    # test (a bare globals() write would leak into later tests)
+    monkeypatch.setattr(
+        _sys.modules[__name__], "_REAL_SCORE", real, raising=False
+    )
     monkeypatch.setattr(ev_mod, "_score_arrays", _dying_score)
     evaluator = ev_mod.Evaluator(cfg, model, num_workers=2)
     try:
