@@ -96,8 +96,9 @@ class ModelConfig:
     # accuracy at bf16-comparable speed rather than throughput.
     fused_inference: bool = False
     # Run the conv stack through the freq-to-depth "blocked" forward
-    # (models/blocked.py): an exact reparametrization that folds 4
-    # frequency bins into channels, turning the (1,k) freq convs into
+    # (models/blocked.py): an exact reparametrization that folds
+    # `blocked_fb` (default 8) frequency bins into channels, turning
+    # the (1,k) freq convs into
     # dense MXU shapes -- measured ~2x faster fwd+bwd on v5e.  Same math,
     # same params/checkpoints; only f32 reduction order differs (verified
     # exact in f64, tests/test_blocked.py).  Default off so the parity
